@@ -1,0 +1,127 @@
+"""DeepLabV3+ with MobileNetV2 encoder (flax linen, NHWC).
+
+The flagship segmentation model, matching the capability of
+``smp.DeepLabV3Plus(encoder_name='mobilenet_v2', classes=K,
+aux_params=dict(pooling='avg'))`` as patched by the reference
+(`/root/reference/models/__init__.py:15-23` + `models/heads.py:5-25`):
+``model(x) -> (seg_logits, pooled_1280d_feature)`` where the pooled encoder
+feature feeds the domain discriminator.
+
+Architecture (smp DeepLabV3Plus defaults): encoder at output-stride 16,
+ASPP with atrous rates (12, 24, 36) + global-pooling branch -> 256ch,
+separable 3x3; decoder: low-level C2 -> 1x1 conv 48ch, ASPP out upsampled
+x4, concat, two separable 3x3 convs -> 256; segmentation head: 3x3 conv to
+classes + x4 bilinear upsample to input resolution.
+
+BatchNorm takes ``axis_name`` for cross-replica statistics under shard_map
+(TPU-native SyncBN).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .mobilenetv2 import MobileNetV2Encoder
+
+
+def _bn(axis_name, train):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, axis_name=axis_name)
+
+
+class SeparableConvBNReLU(nn.Module):
+    features: int
+    dilation: int = 1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        in_ch = x.shape[-1]
+        pad = self.dilation
+        x = nn.Conv(in_ch, (3, 3), padding=pad, feature_group_count=in_ch,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False)(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False)(x)
+        x = _bn(self.axis_name, train)(x)
+        return nn.relu(x)
+
+
+class ASPP(nn.Module):
+    features: int = 256
+    atrous_rates: Sequence[int] = (12, 24, 36)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        an = self.axis_name
+        branches = []
+        # 1x1 branch
+        y = nn.Conv(self.features, (1, 1), use_bias=False)(x)
+        y = _bn(an, train)(y)
+        branches.append(nn.relu(y))
+        # atrous separable branches
+        for rate in self.atrous_rates:
+            branches.append(SeparableConvBNReLU(
+                self.features, dilation=rate, axis_name=an)(x, train))
+        # image pooling branch
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = nn.Conv(self.features, (1, 1), use_bias=False)(pooled)
+        pooled = _bn(an, train)(pooled)
+        pooled = nn.relu(pooled)
+        pooled = jnp.broadcast_to(
+            pooled, (x.shape[0], x.shape[1], x.shape[2], self.features))
+        branches.append(pooled)
+
+        y = jnp.concatenate(branches, axis=-1)
+        y = nn.Conv(self.features, (1, 1), use_bias=False)(y)
+        y = _bn(an, train)(y)
+        y = nn.relu(y)
+        # smp applies a separable 3x3 after ASPP
+        return SeparableConvBNReLU(self.features, axis_name=an)(y, train)
+
+
+class DeepLabV3Plus(nn.Module):
+    num_classes: int
+    decoder_channels: int = 256
+    axis_name: Optional[str] = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        an = self.axis_name
+        x = x.astype(self.compute_dtype)
+        low, high = MobileNetV2Encoder(axis_name=an, name="encoder")(
+            x, train)
+
+        y = ASPP(self.decoder_channels, axis_name=an, name="aspp")(
+            high, train)
+        y = jax.image.resize(
+            y, (y.shape[0], low.shape[1], low.shape[2], y.shape[3]),
+            method="bilinear")
+
+        skip = nn.Conv(48, (1, 1), use_bias=False, name="low_conv")(low)
+        skip = _bn(an, train)(skip)
+        skip = nn.relu(skip)
+
+        y = jnp.concatenate([y, skip], axis=-1)
+        y = SeparableConvBNReLU(self.decoder_channels, axis_name=an)(y, train)
+        y = SeparableConvBNReLU(self.decoder_channels, axis_name=an)(y, train)
+
+        logits = nn.Conv(self.num_classes, (3, 3), padding=1,
+                         name="seg_head")(y)
+        logits = jax.image.resize(
+            logits, (logits.shape[0], x.shape[1], x.shape[2],
+                     self.num_classes), method="bilinear")
+
+        # aux head: the patched smp ClassificationHead is pool+flatten only
+        # (`models/heads.py:14-25`) — the raw pooled 1280-d encoder feature
+        feature = jnp.mean(high, axis=(1, 2))
+        return logits.astype(jnp.float32), feature.astype(jnp.float32)
+
+    @property
+    def feature_dim(self) -> int:
+        return 1280

@@ -1,0 +1,9 @@
+from .logging import AverageMeter, create_logger, ScalarWriter
+from .checkpoint import (save_checkpoint, load_checkpoint, latest_checkpoint,
+                         save_json, save_array)
+
+__all__ = [
+    "AverageMeter", "create_logger", "ScalarWriter",
+    "save_checkpoint", "load_checkpoint", "latest_checkpoint",
+    "save_json", "save_array",
+]

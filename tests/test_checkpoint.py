@@ -1,0 +1,55 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from aadg_tpu.utils import (save_checkpoint, load_checkpoint,
+                            latest_checkpoint, save_json)
+
+
+def test_roundtrip_and_latest(tmp_path):
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)},
+        "epoch": 7,
+        "best_dsc": 0.5,
+    }
+    p1 = save_checkpoint(state, is_best=False, output_dir=str(tmp_path),
+                         filename="checkpoint_7.msgpack")
+    assert os.path.exists(p1)
+    # latest points at a real file (reference bug fixed: utils.py:217-221
+    # symlinked a never-written file)
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest and os.path.exists(latest)
+
+    restored = load_checkpoint(latest, target=state)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert restored["epoch"] == 7
+
+    # raw restore without a template
+    raw = load_checkpoint(latest)
+    assert "params" in raw
+
+
+def test_best_checkpoint_written(tmp_path):
+    state = {"params": {"w": jnp.ones(4)}, "epoch": 1}
+    save_checkpoint(state, is_best=True, output_dir=str(tmp_path))
+    assert os.path.exists(tmp_path / "model_best.msgpack")
+
+
+def test_latest_replaced_across_saves(tmp_path):
+    s = {"x": jnp.zeros(1), "epoch": 0}
+    save_checkpoint(s, False, str(tmp_path), "checkpoint_0.msgpack")
+    s2 = {"x": jnp.ones(1), "epoch": 1}
+    save_checkpoint(s2, False, str(tmp_path), "checkpoint_1.msgpack")
+    restored = load_checkpoint(latest_checkpoint(str(tmp_path)), target=s)
+    assert restored["epoch"] == 1
+
+
+def test_save_json(tmp_path):
+    save_json({"dsc": np.float32(0.5), "epoch": 3},
+              str(tmp_path / "final_result.json"))
+    import json
+    with open(tmp_path / "final_result.json") as f:
+        data = json.load(f)
+    assert data["dsc"] == 0.5
