@@ -35,7 +35,8 @@ def build_model(cfg, axis_name=None):
     """Build the segmentation model from config. Returns a flax Module
     whose __call__ is ``(x, train) -> (seg_logits, pooled_feature)``."""
     name = cfg.MODEL.NAME
-    num_classes = class_parser(cfg.DATASET.NAME)
+    base = "optic" if "optic" in cfg.DATASET.NAME else "rvs"
+    num_classes = class_parser(base)
     if name == "deeplabv3+":
         assert cfg.MODEL.BACKBONE in ("mobilenet_v2",)
         return DeepLabV3Plus(num_classes=num_classes, axis_name=axis_name)

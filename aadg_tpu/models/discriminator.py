@@ -86,10 +86,13 @@ class MomentumFeatureDiscriminator(nn.Module):
                  return_feature: bool = False):
         online = _MLPHead(self.in_channels, self.num_classes, name="online")
         mom = _MLPHead(self.in_channels, self.num_classes, name="momentum")
-        if momentum:
-            out = mom(jax.lax.stop_gradient(x), return_feature)
-            return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
-        return online(x, return_feature)
+        # run both branches so flax materializes both parameter trees at
+        # init (the branches are tiny MLPs); `momentum` is a static bool
+        out_online = online(x, return_feature)
+        out_mom = jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            mom(jax.lax.stop_gradient(x), return_feature))
+        return out_mom if momentum else out_online
 
 
 def momentum_update(params: Dict[str, Any], m: float = 0.999

@@ -20,7 +20,8 @@ from flax import serialization
 
 
 def save_checkpoint(state: Dict[str, Any], is_best: bool, output_dir: str,
-                    filename: str = "checkpoint.msgpack") -> str:
+                    filename: str = "checkpoint.msgpack",
+                    update_latest: bool = True) -> str:
     """Serialize a pytree-of-arrays state dict.
 
     ``state`` may contain jax arrays, numpy arrays, python scalars and nested
@@ -34,12 +35,13 @@ def save_checkpoint(state: Dict[str, Any], is_best: bool, output_dir: str,
     with open(path, "wb") as f:
         f.write(data)
 
-    latest = os.path.join(output_dir, "latest.msgpack")
-    tmp = latest + ".tmp"
-    if os.path.islink(latest) or os.path.exists(latest):
-        os.remove(latest)
-    os.symlink(os.path.basename(path), tmp)
-    os.rename(tmp, latest)
+    if update_latest:
+        latest = os.path.join(output_dir, "latest.msgpack")
+        tmp = latest + ".tmp"
+        if os.path.islink(latest) or os.path.exists(latest):
+            os.remove(latest)
+        os.symlink(os.path.basename(path), tmp)
+        os.rename(tmp, latest)
 
     if is_best:
         with open(os.path.join(output_dir, "model_best.msgpack"), "wb") as f:

@@ -1,0 +1,89 @@
+"""Benchmark: the search-mode hot step on real TPU hardware.
+
+Measures end-to-end augmented-images/sec/chip for the flagship workload —
+the reference's per-step load (`BASELINE.md`): batch 8 x 3 domains x M=6
+policies = 144 augmented 256x256 images per step through DeepLabV3+
+(MobileNetV2), including on-device policy augmentation, scale-crop,
+seg+discriminator fwd/bwd+update, and the 3-pairwise-domain Sinkhorn
+rewards for all 6 policies.
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.json "published": {}); the denominator is a documented
+engineering estimate of the reference stack's A100 step rate
+(~410 img/s: PyTorch DeepLabV3+ fwd/bwd at equivalent load plus PIL
+CPU-worker augmentation and pykeops rewards). Treat vs_baseline as
+relative-to-estimate, not a measured reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+REFERENCE_A100_IMG_PER_SEC_ESTIMATE = 410.0
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from aadg_tpu.config import load_config
+    from aadg_tpu.engine.state import build_entities, init_state
+    from aadg_tpu.engine.steps import make_search_step
+    from aadg_tpu.models import controller as ctrl_mod
+    from aadg_tpu.data.datasets import SyntheticDataset, load_train_arrays
+    from aadg_tpu.data.stores import make_train_store, sample_train_batch
+
+    cfg = load_config()
+    cfg.DATASET.NAME = "synthetic_optic"
+    cfg.MODEL.NAME = "deeplabv3+"
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.CONTROLLER.M = 6
+    cfg.TPU.CROP_SIZE = 256
+
+    # reference-shaped data: 3 domains of 256^2 images
+    ds = SyntheticDataset("optic", n_domains=3, n_per_domain=16, size=256)
+    store = make_train_store(*load_train_arrays(ds))
+
+    ent = build_entities(cfg, "search", steps_per_epoch=1)
+    sd, cs = init_state(ent, jax.random.PRNGKey(0))
+    M = int(cfg.CONTROLLER.M)
+    step = make_search_step(ent, M)
+
+    @jax.jit
+    def bench_step(ts, key):
+        kb, ks = jax.random.split(key)
+        batch = sample_train_batch(store, kb, cfg.TRAIN.BATCH_SIZE)
+        return step(ts, batch, ptens, ks)
+
+    policies, *_ = ctrl_mod.sample(cs.params, ent.ctrl_spec,
+                                   jax.random.PRNGKey(1), M)
+    ptens = ctrl_mod.policies_to_tensor(policies, ent.ctrl_spec)
+
+    key = jax.random.PRNGKey(2)
+    # warmup / compile
+    sd, m, r = bench_step(sd, key)
+    jax.block_until_ready(r)
+
+    n_iters = 20
+    t0 = time.time()
+    for i in range(n_iters):
+        sd, m, r = bench_step(sd, jax.random.fold_in(key, i))
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / n_iters
+
+    imgs_per_step = cfg.TRAIN.BATCH_SIZE * 3 * M  # 144
+    value = imgs_per_step / dt
+    print(json.dumps({
+        "metric": "search_step_augmented_images_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "img/s",
+        "vs_baseline": round(value / REFERENCE_A100_IMG_PER_SEC_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

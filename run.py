@@ -1,0 +1,64 @@
+"""CLI entry point — same surface as the reference
+(`/root/reference/run.py:14-67`):
+
+    python run.py --cfg experiments/optic_sinkhorn/diversity.yaml \
+                  --mode {search,train,test} [--output_dir out] [--seed N]
+
+Distributed flags differ by design: JAX is single-controller, so there is
+no mp.spawn/rendezvous surface (`distributed.py:15-31`); multi-chip data
+parallelism is a mesh property (``--data_parallel N``, or all visible
+devices by default). ``--mode test`` works (the reference's crashes:
+`run.py:54` passes one arg to a two-arg worker, SURVEY §5 bugs).
+"""
+
+import argparse
+import sys
+
+from aadg_tpu.config import load_config
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Adversarial AutoAugment (TPU)")
+    parser.add_argument("--mode", default="search",
+                        help="[search / train / test]")
+    parser.add_argument("--cfg", required=True, type=str,
+                        help="experiment configuration filename")
+    parser.add_argument("--output_dir", default="output", type=str)
+    parser.add_argument("--vis_dir", default="vis", type=str)
+    parser.add_argument("--output_type", default="image", type=str)
+    parser.add_argument("--seed", default=1023, type=int)
+    parser.add_argument("--data_parallel", default=-1, type=int,
+                        help="devices on the data mesh axis (-1 = all)")
+    parser.add_argument("--smoke_test", action="store_true",
+                        help="tiny run: 2 epochs (1 warmup), 2 steps/epoch")
+    parser.add_argument("opts", nargs=argparse.REMAINDER,
+                        help="config overrides: KEY VALUE ...")
+    args = parser.parse_args()
+
+    cfg = load_config(args.cfg, args.opts or None)
+    cfg.OUTPUT_DIR = args.output_dir
+    cfg.SEED = args.seed
+    cfg.TPU.DATA_PARALLEL = args.data_parallel
+    if args.smoke_test:
+        cfg.TRAIN.WARMUP_EPOCH = 1
+        cfg.TRAIN.END_EPOCH = 2
+        cfg.TPU.STEPS_PER_EPOCH = 2
+    cfg.freeze()
+
+    if args.mode == "test":
+        from aadg_tpu.engine.test import run_test
+        run_test(cfg, args.cfg, vis_dir=args.vis_dir,
+                 output_type=args.output_type, seed=args.seed)
+    elif args.mode == "search":
+        from aadg_tpu.engine.search import run_search
+        run_search(cfg, args.cfg)
+    elif args.mode == "train":
+        from aadg_tpu.engine.train import run_train
+        run_train(cfg, args.cfg)
+    else:
+        raise NotImplementedError(
+            "Only [search / train / test] are supported.")
+
+
+if __name__ == "__main__":
+    main()

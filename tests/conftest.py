@@ -14,6 +14,11 @@ import sys
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: big win on this 1-CPU host across reruns
+_cache_dir = os.path.expanduser("~/.cache/jax_test_compilation")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
