@@ -111,14 +111,16 @@ def random_scale_crop(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array,
         translation=jnp.stack([-y1, -x1]),
         method="linear", antialias=True)
 
-    # nearest for the mask: in = floor((out + offset + 0.5) / scale)
-    xs = jnp.arange(crop, dtype=jnp.float32)[None, :]
-    ys = jnp.arange(crop, dtype=jnp.float32)[:, None]
+    # nearest for the mask: in = floor((out + offset + 0.5) / scale).
+    # The axis-aligned resample is separable: one row take + one column
+    # take (pointwise 2-D gathers are pathologically slow on TPU).
+    xs = jnp.arange(crop, dtype=jnp.float32)
+    ys = jnp.arange(crop, dtype=jnp.float32)
     ix = jnp.clip(jnp.floor((xs + x1 + 0.5) / eff_w), 0, w - 1).astype(
         jnp.int32)
     iy = jnp.clip(jnp.floor((ys + y1 + 0.5) / eff_h), 0, h - 1).astype(
         jnp.int32)
-    mask_out = mask[iy, ix]
+    mask_out = jnp.take(jnp.take(mask, iy, axis=0), ix, axis=1)
     return img_out, mask_out
 
 

@@ -35,15 +35,21 @@ from .state import build_entities, init_state
 from .steps import make_pretrain_step, make_search_step
 
 
-def _make_epoch_runners(ent, store, batch_size, steps, M, cfg):
-    """Build jitted whole-epoch scan programs for pretrain and search."""
+def _make_epoch_runners(ent, batch_size, steps, M, cfg):
+    """Build jitted whole-epoch scan programs for pretrain and search.
+
+    The data store is an explicit argument (NOT a closure constant): on
+    remote-attached TPU backends, closure-captured arrays are embedded as
+    program constants and re-shipped on every call — passing the store as
+    an arg keeps it device-resident (measured 4x step time difference).
+    """
     pre_step = make_pretrain_step(ent)
     srch_step = make_search_step(
         ent, M, sinkhorn_blur=cfg.TPU.SINKHORN.BLUR,
         sinkhorn_scaling=cfg.TPU.SINKHORN.SCALING)
 
     @jax.jit
-    def pretrain_epoch(ts, key):
+    def pretrain_epoch(ts, store, key):
         def body(carry, k):
             kb, ks = jax.random.split(k)
             batch = sample_train_batch(store, kb, batch_size)
@@ -54,7 +60,7 @@ def _make_epoch_runners(ent, store, batch_size, steps, M, cfg):
         return ts, jax.tree_util.tree_map(jnp.mean, ms)
 
     @jax.jit
-    def search_epoch(ts, policies, key):
+    def search_epoch(ts, store, policies, key):
         def body(carry, k):
             kb, ks = jax.random.split(k)
             batch = sample_train_batch(store, kb, batch_size)
@@ -104,7 +110,7 @@ def run_search(cfg, cfg_path: str):
     M = int(cfg.CONTROLLER.M)
 
     pretrain_epoch, search_epoch = _make_epoch_runners(
-        ent, store, cfg.TRAIN.BATCH_SIZE, steps, M, cfg)
+        ent, cfg.TRAIN.BATCH_SIZE, steps, M, cfg)
     ctrl_update = jax.jit(make_controller_update(
         ent, cfg.CONTROLLER.LOSS, cfg.CONTROLLER.PENALTY))
     sample_policies = jax.jit(partial(ctrl_mod.sample, spec=ent.ctrl_spec,
@@ -138,7 +144,7 @@ def run_search(cfg, cfg_path: str):
         t0 = time.time()
         ctrl_stats = None
         if cfg.TRAIN.WARMUP_EPOCH > epoch:
-            sd, ms = pretrain_epoch(sd, ekey)
+            sd, ms = pretrain_epoch(sd, store, ekey)
             ms = {k: float(v) for k, v in ms.items()}
             logger.info(
                 "Train Epoch {} time:{:.4f} ".format(epoch, time.time() - t0)
@@ -151,7 +157,7 @@ def run_search(cfg, cfg_path: str):
             policies, op_probs, mag_probs, log_probs, entropies = \
                 sample_policies(cs.params, key=k_s)
             ptens = ctrl_mod.policies_to_tensor(policies, ent.ctrl_spec)
-            sd, ms, rewards = search_epoch(sd, ptens, k_e)
+            sd, ms, rewards = search_epoch(sd, store, ptens, k_e)
             sd = sd._replace(dis_params=momentum_update(sd.dis_params))
             cs, ctrl_stats = ctrl_update(cs, policies, log_probs,
                                          entropies, rewards)

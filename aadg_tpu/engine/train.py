@@ -50,8 +50,10 @@ def run_train(cfg, cfg_path: str):
 
     step_fn = make_pretrain_step(ent)
 
+    # store passed as an arg, not a closure constant (remote backends
+    # re-ship program constants every call)
     @jax.jit
-    def train_epoch(ts, ekey):
+    def train_epoch(ts, store, ekey):
         def body(carry, k):
             kb, ks = jax.random.split(k)
             batch = sample_train_batch(store, kb, cfg.TRAIN.BATCH_SIZE)
@@ -81,7 +83,7 @@ def run_train(cfg, cfg_path: str):
 
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
         t0 = time.time()
-        sd, ms = train_epoch(sd, jax.random.fold_in(key, epoch + 1))
+        sd, ms = train_epoch(sd, store, jax.random.fold_in(key, epoch + 1))
         ms = {k: float(v) for k, v in ms.items()}
         logger.info("Train Epoch {} time:{:.4f} ".format(
             epoch, time.time() - t0)

@@ -34,12 +34,16 @@ def channel_parser(backbone: str) -> int:
 def build_model(cfg, axis_name=None):
     """Build the segmentation model from config. Returns a flax Module
     whose __call__ is ``(x, train) -> (seg_logits, pooled_feature)``."""
+    import jax.numpy as jnp
     name = cfg.MODEL.NAME
     base = "optic" if "optic" in cfg.DATASET.NAME else "rvs"
     num_classes = class_parser(base)
+    compute_dtype = (jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+                     else jnp.float32)
     if name == "deeplabv3+":
         assert cfg.MODEL.BACKBONE in ("mobilenet_v2",)
-        return DeepLabV3Plus(num_classes=num_classes, axis_name=axis_name)
+        return DeepLabV3Plus(num_classes=num_classes, axis_name=axis_name,
+                             compute_dtype=compute_dtype)
     if name == "unet":
         return UNet(in_channels=3, out_channels=num_classes,
                     axis_name=axis_name)

@@ -19,7 +19,7 @@ BatchNorm takes ``axis_name`` for cross-replica statistics under shard_map
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,7 @@ class SeparableConvBNReLU(nn.Module):
     features: int
     dilation: int = 1
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -44,8 +45,9 @@ class SeparableConvBNReLU(nn.Module):
         pad = self.dilation
         x = nn.Conv(in_ch, (3, 3), padding=pad, feature_group_count=in_ch,
                     kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False)(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=False)(x)
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype)(x)
         x = _bn(self.axis_name, train)(x)
         return nn.relu(x)
 
@@ -54,34 +56,40 @@ class ASPP(nn.Module):
     features: int = 256
     atrous_rates: Sequence[int] = (12, 24, 36)
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         an = self.axis_name
         branches = []
         # 1x1 branch
-        y = nn.Conv(self.features, (1, 1), use_bias=False)(x)
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype)(x)
         y = _bn(an, train)(y)
         branches.append(nn.relu(y))
         # atrous separable branches
         for rate in self.atrous_rates:
             branches.append(SeparableConvBNReLU(
-                self.features, dilation=rate, axis_name=an)(x, train))
+                self.features, dilation=rate, axis_name=an,
+                dtype=self.dtype)(x, train))
         # image pooling branch
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        pooled = nn.Conv(self.features, (1, 1), use_bias=False)(pooled)
+        pooled = nn.Conv(self.features, (1, 1), use_bias=False,
+                         dtype=self.dtype)(pooled)
         pooled = _bn(an, train)(pooled)
         pooled = nn.relu(pooled)
         pooled = jnp.broadcast_to(
             pooled, (x.shape[0], x.shape[1], x.shape[2], self.features))
         branches.append(pooled)
 
-        y = jnp.concatenate(branches, axis=-1)
-        y = nn.Conv(self.features, (1, 1), use_bias=False)(y)
+        y = jnp.concatenate(branches, axis=-1).astype(self.dtype)
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype)(y)
         y = _bn(an, train)(y)
         y = nn.relu(y)
         # smp applies a separable 3x3 after ASPP
-        return SeparableConvBNReLU(self.features, axis_name=an)(y, train)
+        return SeparableConvBNReLU(self.features, axis_name=an,
+                                   dtype=self.dtype)(y, train)
 
 
 class DeepLabV3Plus(nn.Module):
@@ -93,26 +101,29 @@ class DeepLabV3Plus(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         an = self.axis_name
-        x = x.astype(self.compute_dtype)
-        low, high = MobileNetV2Encoder(axis_name=an, name="encoder")(
-            x, train)
+        low, high = MobileNetV2Encoder(
+            axis_name=an, dtype=self.compute_dtype, name="encoder")(x, train)
 
-        y = ASPP(self.decoder_channels, axis_name=an, name="aspp")(
-            high, train)
+        y = ASPP(self.decoder_channels, axis_name=an,
+                 dtype=self.compute_dtype, name="aspp")(high, train)
         y = jax.image.resize(
             y, (y.shape[0], low.shape[1], low.shape[2], y.shape[3]),
             method="bilinear")
 
-        skip = nn.Conv(48, (1, 1), use_bias=False, name="low_conv")(low)
+        skip = nn.Conv(48, (1, 1), use_bias=False, name="low_conv",
+                       dtype=self.compute_dtype)(low)
         skip = _bn(an, train)(skip)
         skip = nn.relu(skip)
 
-        y = jnp.concatenate([y, skip], axis=-1)
-        y = SeparableConvBNReLU(self.decoder_channels, axis_name=an)(y, train)
-        y = SeparableConvBNReLU(self.decoder_channels, axis_name=an)(y, train)
+        y = jnp.concatenate([y.astype(self.compute_dtype),
+                             skip.astype(self.compute_dtype)], axis=-1)
+        y = SeparableConvBNReLU(self.decoder_channels, axis_name=an,
+                                dtype=self.compute_dtype)(y, train)
+        y = SeparableConvBNReLU(self.decoder_channels, axis_name=an,
+                                dtype=self.compute_dtype)(y, train)
 
         logits = nn.Conv(self.num_classes, (3, 3), padding=1,
-                         name="seg_head")(y)
+                         name="seg_head")(y.astype(jnp.float32))
         logits = jax.image.resize(
             logits, (logits.shape[0], x.shape[1], x.shape[2],
                      self.num_classes), method="bilinear")

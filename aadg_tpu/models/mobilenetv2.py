@@ -20,7 +20,7 @@ starts from random init.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -40,6 +40,7 @@ class ConvBNReLU6(nn.Module):
     groups: int = 1
     dilation: int = 1
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -47,7 +48,8 @@ class ConvBNReLU6(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding=pad,
                     feature_group_count=self.groups, use_bias=False,
-                    kernel_dilation=(self.dilation, self.dilation))(x)
+                    kernel_dilation=(self.dilation, self.dilation),
+                    dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, axis_name=self.axis_name)(x)
         return jnp.minimum(nn.relu(x), 6.0)
@@ -59,6 +61,7 @@ class InvertedResidual(nn.Module):
     expand_ratio: int
     dilation: int = 1
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -67,12 +70,13 @@ class InvertedResidual(nn.Module):
         use_res = self.stride == 1 and in_ch == self.features
         y = x
         if self.expand_ratio != 1:
-            y = ConvBNReLU6(hidden, kernel=1,
-                            axis_name=self.axis_name)(y, train)
+            y = ConvBNReLU6(hidden, kernel=1, axis_name=self.axis_name,
+                            dtype=self.dtype)(y, train)
         y = ConvBNReLU6(hidden, kernel=3, stride=self.stride,
                         groups=hidden, dilation=self.dilation,
-                        axis_name=self.axis_name)(y, train)
-        y = nn.Conv(self.features, (1, 1), use_bias=False)(y)
+                        axis_name=self.axis_name, dtype=self.dtype)(y, train)
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, axis_name=self.axis_name)(y)
         return x + y if use_res else y
@@ -95,13 +99,15 @@ class MobileNetV2Encoder(nn.Module):
     width_mult: float = 1.0
     output_stride: int = 16
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         an = self.axis_name
+        x = x.astype(self.dtype)
         x = ConvBNReLU6(_make_divisible(32 * self.width_mult), kernel=3,
-                        stride=2, axis_name=an)(x, train)
+                        stride=2, axis_name=an, dtype=self.dtype)(x, train)
         low_level = None
         current_stride = 2
         dilation = 1
@@ -115,13 +121,13 @@ class MobileNetV2Encoder(nn.Module):
                     stride = 1
                 x = InvertedResidual(out_ch, stride, t,
                                      dilation=dilation if stride == 1 else 1,
-                                     axis_name=an)(x, train)
+                                     axis_name=an, dtype=self.dtype)(x, train)
                 if stride == 2:
                     current_stride *= 2
             if block_idx == 1:  # after the 24-channel stage: C2 @ 1/4
                 low_level = x
         x = ConvBNReLU6(_make_divisible(1280 * max(1.0, self.width_mult)),
-                        kernel=1, axis_name=an)(x, train)
+                        kernel=1, axis_name=an, dtype=self.dtype)(x, train)
         return low_level, x
 
     @property

@@ -80,33 +80,53 @@ def invert(img, mask, v, key):
     return 255.0 - img, mask
 
 
-def equalize(img, mask, v, key):
-    """PIL ImageOps.equalize: per-channel integer-LUT histogram equalization.
+def _one_hot_u8(vals: jnp.ndarray) -> jnp.ndarray:
+    """(P,) int values in [0,255] -> (P, 256) bf16 one-hot.
 
-    Histogram via sort + searchsorted (TPU-friendly; no scatter).
-    """
+    The TPU-native primitive behind histogram and LUT application: both
+    become MXU matmuls against this one-hot (sorts / element gathers are
+    pathologically slow on TPU; integers <= 256 are exact in bf16)."""
+    bins = jnp.arange(256, dtype=jnp.int32)
+    return (vals[:, None] == bins[None, :]).astype(jnp.bfloat16)
+
+
+def _hist_and_apply_lut(ch: jnp.ndarray, make_lut) -> jnp.ndarray:
+    """Compute the 256-bin histogram of a channel and apply the LUT
+    ``make_lut(hist)`` to it — as two matmuls over a shared one-hot."""
+    shape = ch.shape
+    vals = ch.reshape(-1).astype(jnp.int32)
+    onehot = _one_hot_u8(vals)
+    hist = jnp.dot(jnp.ones((1, vals.shape[0]), jnp.bfloat16), onehot,
+                   preferred_element_type=jnp.float32)[0].astype(jnp.int32)
+    lut = make_lut(hist).astype(jnp.bfloat16)
+    out = jnp.dot(onehot, lut[:, None],
+                  preferred_element_type=jnp.float32)[:, 0]
+    return out.reshape(shape)
+
+
+def equalize(img, mask, v, key):
+    """PIL ImageOps.equalize: per-channel integer-LUT histogram
+    equalization. Histogram and LUT application are one-hot matmuls (MXU);
+    no sort, no gather."""
     del v, key
     h, w, _ = img.shape
     total = h * w
+    bins = jnp.arange(256, dtype=jnp.int32)
 
-    def eq_channel(ch):
-        vals = ch.reshape(-1).astype(jnp.int32)
-        sorted_vals = jnp.sort(vals)
-        bins = jnp.arange(256, dtype=jnp.int32)
-        cdf = jnp.searchsorted(sorted_vals, bins, side="right")  # count <= k
-        hist = jnp.diff(cdf, prepend=0)
+    def make_lut(hist):
         # last *nonzero* bin's count (PIL subtracts histo[-1] of the
         # nonzero-filtered histogram, not h[255])
         nz = hist > 0
         idx_last = 255 - jnp.argmax(nz[::-1])
-        step = (total - hist[idx_last]) // 255
+        step = (total - jnp.sum(jnp.where(bins == idx_last, hist, 0))) // 255
         n0 = step // 2
-        csum_excl = cdf - hist  # count < k  == exclusive cumsum of hist
+        csum_excl = jnp.cumsum(hist) - hist  # count < k
         lut = jnp.clip((n0 + csum_excl) // jnp.maximum(step, 1), 0, 255)
-        lut = jnp.where(step > 0, lut, bins)
-        return lut[vals].astype(jnp.float32).reshape(ch.shape)
+        return jnp.where(step > 0, lut, bins)
 
-    out = jnp.stack([eq_channel(img[..., c]) for c in range(3)], axis=-1)
+    out = jnp.stack(
+        [_hist_and_apply_lut(img[..., c], make_lut) for c in range(3)],
+        axis=-1)
     return out, mask
 
 
@@ -178,12 +198,12 @@ def sharpness(img, mask, v, key):
 
 
 def gamma_correction(img, mask, v, key):
-    """`data/basic.py:123-134`: LUT ((i/255)**(1/gamma)*255).astype(uint8)."""
+    """`data/basic.py:123-134`: ((i/255)**(1/gamma)*255).astype(uint8),
+    evaluated directly per pixel (arithmetic beats a LUT gather on TPU)."""
     del key
     inv_gamma = 1.0 / v
-    bins = jnp.arange(256, dtype=jnp.float32)
-    lut = jnp.floor(((bins / 255.0) ** inv_gamma) * 255.0 + _TRUNC_EPS)
-    return lut[img.astype(jnp.int32)], mask
+    out = jnp.floor(((img / 255.0) ** inv_gamma) * 255.0 + _TRUNC_EPS)
+    return out, mask
 
 
 # ---------------------------------------------------------------------------

@@ -36,16 +36,20 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 def make_dp_train_step(step_fn, mesh, store, local_batch: int,
                        axis_name: str = "data"):
     """Wrap a pretrain-style step (built with axis_name=...) into a
-    shard_map program: replicated state, per-shard in-graph batch."""
+    shard_map program: replicated state, per-shard in-graph batch.
 
-    def body(ts, key):
+    The store is bound as a leading argument at call sites via the
+    returned wrapper (replicated over the mesh, device-resident)."""
+
+    def body(ts, store, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         kb, ks = jax.random.split(key)
         batch = sample_train_batch(store, kb, local_batch)
         return step_fn(ts, batch, ks)
 
-    return jax.jit(_shard_map(body, mesh, in_specs=(P(), P()),
-                              out_specs=(P(), P())))
+    sharded = jax.jit(_shard_map(body, mesh, in_specs=(P(), P(), P()),
+                                 out_specs=(P(), P())))
+    return lambda ts, key: sharded(ts, store, key)
 
 
 def make_dp_search_epoch(search_step_fn, mesh, store, local_batch: int,
@@ -56,7 +60,7 @@ def make_dp_search_epoch(search_step_fn, mesh, store, local_batch: int,
     normalization are replica-consistent.
     """
 
-    def epoch(ts, policies, key):
+    def epoch(ts, store, policies, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
         def body(carry, k):
@@ -70,6 +74,7 @@ def make_dp_search_epoch(search_step_fn, mesh, store, local_batch: int,
         rewards = normalize_rewards(jnp.sum(rs, axis=0))
         return ts, jax.tree_util.tree_map(jnp.mean, ms), rewards
 
-    return jax.jit(_shard_map(
-        epoch, mesh, in_specs=(P(), P(), P()),
+    sharded = jax.jit(_shard_map(
+        epoch, mesh, in_specs=(P(), P(), P(), P()),
         out_specs=(P(), P(), P())))
+    return lambda ts, policies, key: sharded(ts, store, policies, key)

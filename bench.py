@@ -5,7 +5,10 @@ the reference's per-step load (`BASELINE.md`): batch 8 x 3 domains x M=6
 policies = 144 augmented 256x256 images per step through DeepLabV3+
 (MobileNetV2), including on-device policy augmentation, scale-crop,
 seg+discriminator fwd/bwd+update, and the 3-pairwise-domain Sinkhorn
-rewards for all 6 policies.
+rewards for all 6 policies. Steps run inside one lax.scan program (exactly
+how the production epoch runs) with all data passed as device-resident
+arguments; timing forces a host readback (async dispatch on remote TPU
+backends makes block_until_ready unreliable).
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.json "published": {}); the denominator is a documented
@@ -28,7 +31,7 @@ REFERENCE_A100_IMG_PER_SEC_ESTIMATE = 410.0
 
 def main():
     import jax
-    import numpy as np
+    import jax.numpy as jnp
 
     from aadg_tpu.config import load_config
     from aadg_tpu.engine.state import build_entities, init_state
@@ -53,26 +56,29 @@ def main():
     M = int(cfg.CONTROLLER.M)
     step = make_search_step(ent, M)
 
+    n_iters = 20
+
     @jax.jit
-    def bench_step(ts, key):
-        kb, ks = jax.random.split(key)
-        batch = sample_train_batch(store, kb, cfg.TRAIN.BATCH_SIZE)
-        return step(ts, batch, ptens, ks)
+    def epoch(ts, store, ptens, key):
+        def body(carry, k):
+            kb, ks = jax.random.split(k)
+            batch = sample_train_batch(store, kb, cfg.TRAIN.BATCH_SIZE)
+            carry, m, r = step(carry, batch, ptens, ks)
+            return carry, r
+        keys = jax.random.split(key, n_iters)
+        ts, rs = jax.lax.scan(body, ts, keys)
+        return ts, jnp.sum(rs)
 
     policies, *_ = ctrl_mod.sample(cs.params, ent.ctrl_spec,
                                    jax.random.PRNGKey(1), M)
     ptens = ctrl_mod.policies_to_tensor(policies, ent.ctrl_spec)
 
-    key = jax.random.PRNGKey(2)
     # warmup / compile
-    sd, m, r = bench_step(sd, key)
-    jax.block_until_ready(r)
-
-    n_iters = 20
+    sd, r = epoch(sd, store, ptens, jax.random.PRNGKey(2))
+    float(r)
     t0 = time.time()
-    for i in range(n_iters):
-        sd, m, r = bench_step(sd, jax.random.fold_in(key, i))
-    jax.block_until_ready(r)
+    sd, r = epoch(sd, store, ptens, jax.random.PRNGKey(3))
+    float(r)  # force full readback
     dt = (time.time() - t0) / n_iters
 
     imgs_per_step = cfg.TRAIN.BATCH_SIZE * 3 * M  # 144
