@@ -218,6 +218,14 @@ def default_config() -> CfgNode:
     _C.TPU.CHECKPOINT_FREQ = 1
     # Resume from latest checkpoint in OUTPUT_DIR when present.
     _C.TPU.AUTO_RESUME = False
+    # train mode: with probability 0.5 per step, train on a
+    # policy-augmented batch instead of the raw batch (the reference's
+    # dormant `autoaugment` flag, train_dg_2d.py:39-44). Policies come
+    # from the controller checkpoint in TEST.MODEL_DIR when present,
+    # otherwise are sampled from a fresh controller.
+    _C.TPU.AUTOAUGMENT = False
+    # Write a jax profiler trace of one epoch to <run_dir>/profile/.
+    _C.TPU.PROFILE = False
 
     return _C
 

@@ -51,6 +51,8 @@ class FundusDataset:
                     (image_path, image_path.replace("image", "mask")))
 
         center_crop = (splitid[0] == 4)  # reference quirk, optic.py:121
+        from . import native_io
+        use_native = native_io.available()
         for img_path, gt_path in image_list:
             basename = os.path.basename(img_path)
             flag = None
@@ -65,18 +67,23 @@ class FundusDataset:
                         break
             if flag is None:
                 raise ValueError(f"Unknown dataset file: {basename}")
-            img = Image.open(img_path).convert("RGB")
             target = Image.open(gt_path)
-            if center_crop:
-                img = img.crop((144, 144, 144 + 512, 144 + 512))
-                target = Image.fromarray(
-                    np.asarray(target.convert("L"))[144:144 + 512,
-                                                    144:144 + 512])
-            img = img.resize((size, size), Image.LANCZOS)
+            if use_native and not center_crop:
+                # native C++ decode+LANCZOS path (native/image_ops.cpp)
+                img_arr = native_io.load_rgb_resized(img_path, size, size)
+            else:
+                img = Image.open(img_path).convert("RGB")
+                if center_crop:
+                    img = img.crop((144, 144, 144 + 512, 144 + 512))
+                    target = Image.fromarray(
+                        np.asarray(target.convert("L"))[144:144 + 512,
+                                                        144:144 + 512])
+                img_arr = np.asarray(
+                    img.resize((size, size), Image.LANCZOS), np.uint8)
             if target.mode == "RGB":
                 target = target.convert("L")
             target = target.resize((size, size))  # PIL default (bicubic)
-            pools[flag][0].append(np.asarray(img, np.uint8))
+            pools[flag][0].append(img_arr)
             pools[flag][1].append(np.asarray(target.convert("L"), np.uint8))
             pools[flag][2].append(basename)
 

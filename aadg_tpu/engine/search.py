@@ -139,15 +139,27 @@ def run_search(cfg, cfg_path: str):
             best_dsc = float(restored["best_dsc"])
             logger.info(f"resumed from {ckpt} at epoch {begin_epoch}")
 
+    pre_samples = steps * cfg.TRAIN.BATCH_SIZE * store.n_domains
+    srch_samples = pre_samples * M  # augmented images ("Speed" line,
+    #                                 `search_dg.py:77,128-141`)
+    profiled = False
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
         ekey = jax.random.fold_in(key, epoch + 1)
         t0 = time.time()
         ctrl_stats = None
+        profile_ctx = None
+        if cfg.TPU.PROFILE and not profiled and epoch >= begin_epoch:
+            import jax.profiler
+            profile_ctx = jax.profiler.trace(
+                os.path.join(out_dir, "profile"))
+            profile_ctx.__enter__()
         if cfg.TRAIN.WARMUP_EPOCH > epoch:
             sd, ms = pretrain_epoch(sd, store, ekey)
             ms = {k: float(v) for k, v in ms.items()}
+            dt = time.time() - t0
             logger.info(
-                "Train Epoch {} time:{:.4f} ".format(epoch, time.time() - t0)
+                "Train Epoch {} time:{:.4f} Speed {:.1f} samples/s "
+                .format(epoch, dt, pre_samples / dt)
                 + " ".join(f"{k}:{v:.4f}" for k, v in ms.items()))
         else:
             if cfg.TRAIN.WARMUP_EPOCH == epoch:
@@ -162,13 +174,21 @@ def run_search(cfg, cfg_path: str):
             cs, ctrl_stats = ctrl_update(cs, policies, log_probs,
                                          entropies, rewards)
             ms = {k: float(v) for k, v in ms.items()}
+            dt = time.time() - t0
             logger.info(
-                "Train Epoch {} time:{:.4f} ".format(epoch, time.time() - t0)
+                "Train Epoch {} time:{:.4f} Speed {:.1f} samples/s "
+                .format(epoch, dt, srch_samples / dt)
                 + " ".join(f"{k}:{v:.4f}" for k, v in ms.items()))
             logger.info("policies: " + str(describe_policies(
                 np.asarray(policies), ent.op_names, ent.ctrl_spec)))
             for k, v in ms.items():
                 writer.add_scalar(f"train_{k}", v, epoch)
+
+        if profile_ctx is not None:
+            jax.block_until_ready(jax.tree_util.tree_leaves(sd.seg_params))
+            profile_ctx.__exit__(None, None, None)
+            profiled = True
+            logger.info(f"profiler trace written to {out_dir}/profile")
 
         # evaluate every epoch (`search_dg.py:353`)
         vm = validate(ent, sd, test_store, cfg.TEST.BATCH_SIZE)

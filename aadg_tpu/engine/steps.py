@@ -138,6 +138,32 @@ def make_pretrain_step(ent: Entities, axis_name: Optional[str] = None):
     return step
 
 
+def make_autoaug_train_step(ent: Entities,
+                            axis_name: Optional[str] = None):
+    """Train-mode step with the reference's ``autoaugment`` behavior
+    (`train_dg_2d.py:39-44`): with probability 0.5 per step the batch is
+    replaced by a policy-augmented copy. ``policies`` is a (1, Q, L, 2)
+    tensor (a single fixed/searched policy)."""
+    base = make_pretrain_step(ent, axis_name)
+
+    def step(ts: SegDisState, batch, policies, key: jax.Array):
+        imgs, masks, dcs = batch
+        b, d = imgs.shape[0], imgs.shape[1]
+        n0 = b * d
+        k_coin, k_aug, k_rest = jax.random.split(key, 3)
+        flat_i = imgs.reshape((n0,) + imgs.shape[2:])
+        flat_m = masks.reshape((n0,) + masks.shape[2:])
+        aug_i, aug_m = ent.multi_policy(flat_i, flat_m, policies, k_aug)
+        aug_i = aug_i[:, 0].reshape(imgs.shape)
+        aug_m = aug_m[:, 0].reshape(masks.shape)
+        use_aug = jax.random.uniform(k_coin) > 0.5
+        imgs = jnp.where(use_aug, aug_i, imgs)
+        masks = jnp.where(use_aug, aug_m, masks)
+        return base(ts, (imgs, masks, dcs), k_rest)
+
+    return step
+
+
 def make_search_step(ent: Entities, M: int,
                      sinkhorn_blur: float = 0.05,
                      sinkhorn_scaling: float = 0.5,

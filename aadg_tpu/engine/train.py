@@ -46,18 +46,38 @@ def run_train(cfg, cfg_path: str):
 
     ent = build_entities(cfg, "train", steps_per_epoch=steps, logger=logger)
     key = jax.random.PRNGKey(cfg.SEED)
-    sd, _ = init_state(ent, key)
+    sd, cs = init_state(ent, key)
 
-    step_fn = make_pretrain_step(ent)
+    # the reference's dormant autoaugment capability
+    # (`train_dg_2d.py:39-44`): mix policy-augmented batches at p=0.5,
+    # policies sampled from the searched controller when available
+    autoaug = bool(cfg.TPU.AUTOAUGMENT)
+    if autoaug:
+        from .steps import make_autoaug_train_step
+        from ..models import controller as ctrl_mod
+        import os as _os
+        ctrl_path = _os.path.join(cfg.TEST.MODEL_DIR or "",
+                                  "final_controller_state.msgpack")
+        if cfg.TEST.MODEL_DIR and _os.path.exists(ctrl_path):
+            restored = utils.load_checkpoint(ctrl_path,
+                                             {"params": cs.params})
+            cs = cs._replace(params=restored["params"])
+            logger.info(f"autoaugment: loaded controller {ctrl_path}")
+        step_fn = make_autoaug_train_step(ent)
+    else:
+        step_fn = make_pretrain_step(ent)
 
     # store passed as an arg, not a closure constant (remote backends
     # re-ship program constants every call)
     @jax.jit
-    def train_epoch(ts, store, ekey):
+    def train_epoch(ts, store, ptens, ekey):
         def body(carry, k):
             kb, ks = jax.random.split(k)
             batch = sample_train_batch(store, kb, cfg.TRAIN.BATCH_SIZE)
-            carry, m = step_fn(carry, batch, ks)
+            if autoaug:
+                carry, m = step_fn(carry, batch, ptens, ks)
+            else:
+                carry, m = step_fn(carry, batch, ks)
             return carry, m
         keys = jax.random.split(ekey, steps)
         ts, ms = jax.lax.scan(body, ts, keys)
@@ -81,13 +101,24 @@ def run_train(cfg, cfg_path: str):
             best_dsc = float(restored["best_dsc"])
             logger.info(f"resumed from {ckpt} at epoch {begin_epoch}")
 
+    samples_per_epoch = steps * cfg.TRAIN.BATCH_SIZE * store.n_domains
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
         t0 = time.time()
-        sd, ms = train_epoch(sd, store, jax.random.fold_in(key, epoch + 1))
+        ekey = jax.random.fold_in(key, epoch + 1)
+        if autoaug:
+            from ..models import controller as ctrl_mod
+            pol, *_ = ctrl_mod.sample(cs.params, ent.ctrl_spec,
+                                      jax.random.fold_in(ekey, 7), 1)
+            ptens = ctrl_mod.policies_to_tensor(pol, ent.ctrl_spec)
+        else:
+            ptens = jnp.zeros((1, ent.ctrl_spec.Q, ent.ctrl_spec.L, 2),
+                              jnp.int32)
+        sd, ms = train_epoch(sd, store, ptens, ekey)
         ms = {k: float(v) for k, v in ms.items()}
-        logger.info("Train Epoch {} time:{:.4f} ".format(
-            epoch, time.time() - t0)
-            + " ".join(f"{k}:{v:.4f}" for k, v in ms.items()))
+        dt = time.time() - t0
+        logger.info("Train Epoch {} time:{:.4f} Speed {:.1f} samples/s "
+                    .format(epoch, dt, samples_per_epoch / dt)
+                    + " ".join(f"{k}:{v:.4f}" for k, v in ms.items()))
         for k, v in ms.items():
             writer.add_scalar(f"train_{k}", v, epoch)
 

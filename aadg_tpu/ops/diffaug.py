@@ -67,7 +67,7 @@ def d_posterize(imgs, m, key):
     del key
     bits = 1.0 + m * 7.0  # 1..8 bits, continuous
     levels = 2.0 ** bits[..., None, None, None]
-    return ste_round(imgs * (levels - 1.0)) / (levels - 1.0)
+    return ste_clip(ste_round(imgs * (levels - 1.0)) / (levels - 1.0))
 
 
 def d_contrast(imgs, m, key):
