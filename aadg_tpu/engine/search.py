@@ -149,8 +149,8 @@ def run_search(cfg, cfg_path: str):
         ctrl_stats = None
         profile_ctx = None
         if cfg.TPU.PROFILE and not profiled and epoch >= begin_epoch:
-            import jax.profiler
-            profile_ctx = jax.profiler.trace(
+            from jax import profiler as _profiler
+            profile_ctx = _profiler.trace(
                 os.path.join(out_dir, "profile"))
             profile_ctx.__enter__()
         if cfg.TRAIN.WARMUP_EPOCH > epoch:

@@ -15,6 +15,10 @@ from .discriminator import (FeatureDiscriminator, ImageDiscriminator,
                             build_discriminator, momentum_update,
                             synchronize_parameters)
 from .unet import UNet
+from .classifiers import ResNetCIFAR, WideResNet
+from .deeplab_custom import (CustomDeepLab, init_centroids,
+                             update_centroids)
+from .resnet_backbone import ResNetEncoder
 
 
 def class_parser(dataset: str) -> int:
@@ -62,4 +66,6 @@ __all__ = [
     "MomentumFeatureDiscriminator", "build_discriminator",
     "momentum_update", "synchronize_parameters", "build_model",
     "class_parser", "domain_parser", "channel_parser",
+    "ResNetCIFAR", "WideResNet", "CustomDeepLab", "init_centroids",
+    "update_centroids", "ResNetEncoder",
 ]
