@@ -107,21 +107,33 @@ class CustomDeepLab(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         an = self.axis_name
+        output_stride = self.output_stride
         if self.backbone in ("resnet50", "resnet101"):
             enc = ResNetEncoder(depth=int(self.backbone[6:]),
-                                output_stride=self.output_stride,
+                                output_stride=output_stride,
                                 axis_name=an, dtype=self.dtype,
                                 name="backbone")
         elif self.backbone == "mobilenet_v2":
-            enc = MobileNetV2Encoder(output_stride=self.output_stride,
+            enc = MobileNetV2Encoder(output_stride=output_stride,
                                      axis_name=an, dtype=self.dtype,
                                      name="backbone")
+        elif self.backbone == "xception":
+            from .xception import AlignedXception
+            enc = AlignedXception(output_stride=output_stride,
+                                  axis_name=an, dtype=self.dtype,
+                                  name="backbone")
+        elif self.backbone == "drn":
+            from .drn import DRN_D_54
+            # DRN is inherently output-stride 8 (`deeplab.py:218-219`)
+            output_stride = 8
+            enc = DRN_D_54(axis_name=an, dtype=self.dtype,
+                           name="backbone")
         else:
             raise NotImplementedError(self.backbone)
         low, high = enc(x, train)
 
         y, aspp_feature = FullASPP(axis_name=an, dtype=self.dtype,
-                                   output_stride=self.output_stride,
+                                   output_stride=output_stride,
                                    name="aspp")(high, train)
         domain_logits = EncoderDC(self.num_domain, axis_name=an,
                                   name="encoder_d")(y, train)

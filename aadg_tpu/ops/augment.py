@@ -351,6 +351,13 @@ def cutmix(img, mask, img2, mask2, key):
     return img, mask
 
 
+def sample_pairing(img, mask, img2, v):
+    """Blend with another image at alpha v (`data/basic.py:222-228`,
+    SamplePairing: PIL.Image.blend(img1, img2, v) = (1-v) img1 + v img2);
+    the mask is untouched. Batch-level op like cutmix."""
+    return _blend(img, img2, v), mask
+
+
 # ---------------------------------------------------------------------------
 # Op table
 # ---------------------------------------------------------------------------

@@ -126,7 +126,8 @@ def sinkhorn_online(x: jnp.ndarray, y: jnp.ndarray,
                     w_y: Optional[jnp.ndarray] = None,
                     blur: float = 0.05, scaling: float = 0.5,
                     debias: bool = True, extra_iters: int = 5,
-                    diameter: float = 2.0, block: int = 256) -> jnp.ndarray:
+                    diameter: float = 2.0,
+                    block: Optional[int] = None) -> jnp.ndarray:
     """Debiased Sinkhorn divergence with the tiled Pallas softmin.
 
     Same semantics as ``sinkhorn.sinkhorn_divergence`` (validated against
@@ -135,6 +136,12 @@ def sinkhorn_online(x: jnp.ndarray, y: jnp.ndarray,
     """
     n_raw, d_raw = x.shape
     m_raw = y.shape[0]
+    if block is None:
+        # bigger tiles amortize the LSE passes (measured 2.4x from 256 to
+        # 1024 at 8k points); small clouds keep small tiles to limit padding
+        longest = max(n_raw, m_raw)
+        block = 1024 if longest >= 4096 else (
+            512 if longest >= 1024 else 256)
     a = jnp.full((n_raw,), 1.0 / n_raw) if w_x is None else w_x / jnp.sum(w_x)
     b = jnp.full((m_raw,), 1.0 / m_raw) if w_y is None else w_y / jnp.sum(w_y)
 
