@@ -51,7 +51,8 @@ class ConvBNReLU6(nn.Module):
                     kernel_dilation=(self.dilation, self.dilation),
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.axis_name)(x)
+                         epsilon=1e-5, axis_name=self.axis_name,
+                         dtype=self.dtype)(x)
         return jnp.minimum(nn.relu(x), 6.0)
 
 
@@ -78,7 +79,8 @@ class InvertedResidual(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.axis_name)(y)
+                         epsilon=1e-5, axis_name=self.axis_name,
+                         dtype=self.dtype)(y)
         return x + y if use_res else y
 
 
