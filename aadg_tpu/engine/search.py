@@ -104,13 +104,40 @@ def run_search(cfg, cfg_path: str):
     logger.info(f"steps/epoch: {steps}, domains: {store.n_domains}, "
                 f"pool sizes: {np.asarray(store.counts)}")
 
-    ent = build_entities(cfg, "search", steps_per_epoch=steps, logger=logger)
+    # data-parallel mesh (reference: DDP batch split, models/__init__.py:37)
+    n_dp = int(cfg.TPU.DATA_PARALLEL)
+    n_devices = len(jax.devices()) if n_dp <= 0 else n_dp
+    use_dp = n_devices > 1
+    axis_name = "data" if use_dp else None
+
+    ent = build_entities(cfg, "search", steps_per_epoch=steps,
+                         axis_name=axis_name, logger=logger)
     key = jax.random.PRNGKey(cfg.SEED)
     sd, cs = init_state(ent, key)
     M = int(cfg.CONTROLLER.M)
 
-    pretrain_epoch, search_epoch = _make_epoch_runners(
-        ent, cfg.TRAIN.BATCH_SIZE, steps, M, cfg)
+    if use_dp:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.dp import (make_dp_pretrain_epoch,
+                                   make_dp_search_epoch)
+        mesh = make_mesh(n_devices)
+        local_batch = max(1, cfg.TRAIN.BATCH_SIZE // n_devices)
+        logger.info(f"data parallel over {n_devices} devices, "
+                    f"local batch {local_batch}")
+        pre_step = make_pretrain_step(ent, axis_name="data")
+        srch_step = make_search_step(
+            ent, M, sinkhorn_blur=cfg.TPU.SINKHORN.BLUR,
+            sinkhorn_scaling=cfg.TPU.SINKHORN.SCALING, axis_name="data")
+        pretrain_epoch = make_dp_pretrain_epoch(pre_step, mesh, store,
+                                                local_batch, steps)
+        _dp_search = make_dp_search_epoch(srch_step, mesh, store,
+                                          local_batch, steps)
+
+        def search_epoch(ts, store, policies, k):
+            return _dp_search(ts, store, policies, k)
+    else:
+        pretrain_epoch, search_epoch = _make_epoch_runners(
+            ent, cfg.TRAIN.BATCH_SIZE, steps, M, cfg)
     ctrl_update = jax.jit(make_controller_update(
         ent, cfg.CONTROLLER.LOSS, cfg.CONTROLLER.PENALTY))
     sample_policies = jax.jit(partial(ctrl_mod.sample, spec=ent.ctrl_spec,

@@ -49,7 +49,30 @@ def make_dp_train_step(step_fn, mesh, store, local_batch: int,
 
     sharded = jax.jit(_shard_map(body, mesh, in_specs=(P(), P(), P()),
                                  out_specs=(P(), P())))
-    return lambda ts, key: sharded(ts, store, key)
+    return lambda ts, store, key: sharded(ts, store, key)
+
+
+def make_dp_pretrain_epoch(step_fn, mesh, store, local_batch: int,
+                           steps: int, axis_name: str = "data"):
+    """Whole warmup epoch as one sharded scan program (pretrain-step
+    signature: (ts, batch, key) -> (ts, metrics))."""
+
+    def epoch(ts, store, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+        def body(carry, k):
+            kb, ks = jax.random.split(k)
+            batch = sample_train_batch(store, kb, local_batch)
+            carry, m = step_fn(carry, batch, ks)
+            return carry, m
+
+        keys = jax.random.split(key, steps)
+        ts, ms = jax.lax.scan(body, ts, keys)
+        return ts, jax.tree_util.tree_map(jnp.mean, ms)
+
+    sharded = jax.jit(_shard_map(epoch, mesh, in_specs=(P(), P(), P()),
+                                 out_specs=(P(), P())))
+    return lambda ts, store, key: sharded(ts, store, key)
 
 
 def make_dp_search_epoch(search_step_fn, mesh, store, local_batch: int,
@@ -77,4 +100,5 @@ def make_dp_search_epoch(search_step_fn, mesh, store, local_batch: int,
     sharded = jax.jit(_shard_map(
         epoch, mesh, in_specs=(P(), P(), P(), P()),
         out_specs=(P(), P(), P())))
-    return lambda ts, policies, key: sharded(ts, store, policies, key)
+    return lambda ts, store, policies, key: sharded(ts, store, policies,
+                                                    key)

@@ -40,7 +40,7 @@ def test_dp_pretrain_step_runs_and_syncs(setup):
     step = make_pretrain_step(ent, axis_name="data")
     dp_step = make_dp_train_step(step, mesh, store, local_batch=1)
     with mesh:
-        new_sd, metrics = dp_step(sd, jax.random.PRNGKey(1))
+        new_sd, metrics = dp_step(sd, store, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["seg_loss"]))
     # params are replicated: a single consistent value per leaf
     w = jax.tree_util.tree_leaves(new_sd.seg_params)[0]
@@ -57,7 +57,8 @@ def test_dp_search_epoch_rewards(setup):
                                    jax.random.PRNGKey(2), M)
     ptens = ctrl_mod.policies_to_tensor(policies, ent.ctrl_spec)
     with mesh:
-        new_sd, metrics, rewards = epoch(sd, ptens, jax.random.PRNGKey(3))
+        new_sd, metrics, rewards = epoch(sd, store, ptens,
+                                         jax.random.PRNGKey(3))
     rewards = np.asarray(rewards)
     assert rewards.shape == (M,)
     assert np.all(np.isfinite(rewards))
