@@ -160,3 +160,88 @@ def hd95_with_penalty(pred: np.ndarray, target: np.ndarray,
     if pred.sum() < 1 or target.sum() < 1:
         return penalty
     return hd95(pred, target)
+
+
+# ---------------------------------------------------------------------------
+# Semantic-segmentation evaluation (mIoU / mDice / aAcc)
+#
+# Host-side numpy, eval-only — the reference computes these on CPU too
+# (vendored mmseg `/root/reference/models/mmseg/core/evaluation/metrics.py`:
+# intersect_and_union :5-60, total_intersect_and_union :62-103,
+# mean_iou :105, mean_dice :142, eval_metrics :179-229).
+# ---------------------------------------------------------------------------
+
+def intersect_and_union(pred_label, label, num_classes: int,
+                        ignore_index: int, label_map=None,
+                        reduce_zero_label: bool = False):
+    """Per-image class histograms of intersection/union/pred/gt areas."""
+    pred_label = np.asarray(pred_label)
+    label = np.asarray(label).copy()
+    if label_map:
+        src = label.copy()
+        for old_id, new_id in label_map.items():
+            label[src == old_id] = new_id
+    if reduce_zero_label:
+        # zero means 'unlabeled': shift classes down, map 0 -> ignore(255)
+        label[label == 0] = 255
+        label = label - 1
+        label[label == 254] = 255
+    mask = label != ignore_index
+    pred_label = pred_label[mask]
+    label = label[mask]
+    bins = np.arange(num_classes + 1)
+    area_intersect, _ = np.histogram(pred_label[pred_label == label],
+                                     bins=bins)
+    area_pred, _ = np.histogram(pred_label, bins=bins)
+    area_label, _ = np.histogram(label, bins=bins)
+    area_union = area_pred + area_label - area_intersect
+    return area_intersect, area_union, area_pred, area_label
+
+
+def total_intersect_and_union(results, gt_seg_maps, num_classes: int,
+                              ignore_index: int, label_map=None,
+                              reduce_zero_label: bool = False):
+    """Histogram sums over a result set (`metrics.py:62-103`)."""
+    totals = [np.zeros(num_classes, dtype=np.float64) for _ in range(4)]
+    assert len(results) == len(gt_seg_maps)
+    for pred, gt in zip(results, gt_seg_maps):
+        for tot, area in zip(totals, intersect_and_union(
+                pred, gt, num_classes, ignore_index, label_map,
+                reduce_zero_label)):
+            tot += area
+    return tuple(totals)
+
+
+def eval_metrics(results, gt_seg_maps, num_classes: int, ignore_index: int,
+                 metrics="mIoU", nan_to_num=None, label_map=None,
+                 reduce_zero_label: bool = False):
+    """Returns [aAcc, per-class acc, per-class metric...] exactly like the
+    reference (`metrics.py:179-229`): mIoU = I/U, mDice = 2I/(P+G)."""
+    if isinstance(metrics, str):
+        metrics = [metrics]
+    if not set(metrics).issubset({"mIoU", "mDice"}):
+        raise KeyError(f"metrics {metrics} is not supported")
+    ti, tu, tp, tg = total_intersect_and_union(
+        results, gt_seg_maps, num_classes, ignore_index, label_map,
+        reduce_zero_label)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ret = [ti.sum() / tg.sum(), ti / tg]
+        for metric in metrics:
+            ret.append(ti / tu if metric == "mIoU" else 2 * ti / (tp + tg))
+    if nan_to_num is not None:
+        ret = [np.nan_to_num(m, nan=nan_to_num) for m in ret]
+    return ret
+
+
+def mean_iou(results, gt_seg_maps, num_classes: int, ignore_index: int,
+             nan_to_num=None, label_map=None, reduce_zero_label=False):
+    """`metrics.py:105-140`: (aAcc, acc, IoU)."""
+    return eval_metrics(results, gt_seg_maps, num_classes, ignore_index,
+                        "mIoU", nan_to_num, label_map, reduce_zero_label)
+
+
+def mean_dice(results, gt_seg_maps, num_classes: int, ignore_index: int,
+              nan_to_num=None, label_map=None, reduce_zero_label=False):
+    """`metrics.py:142-177`: (aAcc, acc, Dice)."""
+    return eval_metrics(results, gt_seg_maps, num_classes, ignore_index,
+                        "mDice", nan_to_num, label_map, reduce_zero_label)
