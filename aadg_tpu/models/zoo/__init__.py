@@ -11,8 +11,36 @@ inheritance trees become flax modules sharing small helper modules.
 
 from .losses import (accuracy, binary_cross_entropy, cross_entropy,
                      lovasz_hinge, lovasz_softmax)
+from .layers import (ConvModule, DepthwiseSeparableConvModule,
+                     adaptive_avg_pool, resize, transform_inputs)
+from .heads import (ASPPHead, ClsSeg, DepthwiseSeparableASPPHead,
+                    DepthwiseSeparableFCNHead, FCNHead, FPNHead, LRASPPHead,
+                    PSPHead, UPerHead)
+from .attention_heads import (ACM, ANNHead, APCHead, CCHead,
+                              CrissCrossAttention, DAHead, DCM, DMHead,
+                              DNLHead, EMAHead, EncHead, GCHead, NLHead,
+                              OCRHead, PSAHead, SelfAttentionBlock,
+                              encode_onehot_labels)
+from .point_head import (PointHead, calculate_uncertainty, get_points_test,
+                         get_points_train, point_rend_refine, point_sample)
+from .backbones import (CGNet, FastSCNN, HRNet, MobileNetV3, ResNeSt,
+                        ResNeXt, ResNetV1c)
+from .necks import FPN
+from .segmentor import (CascadeEncoderDecoder, EncoderDecoder,
+                        segmentor_slide_inference, whole_inference)
 
 __all__ = [
     "accuracy", "binary_cross_entropy", "cross_entropy", "lovasz_hinge",
-    "lovasz_softmax",
+    "lovasz_softmax", "ConvModule", "DepthwiseSeparableConvModule",
+    "adaptive_avg_pool", "resize", "transform_inputs", "ASPPHead", "ClsSeg",
+    "DepthwiseSeparableASPPHead", "DepthwiseSeparableFCNHead", "FCNHead",
+    "FPNHead", "LRASPPHead", "PSPHead", "UPerHead", "FPN",
+    "CascadeEncoderDecoder", "EncoderDecoder", "segmentor_slide_inference",
+    "whole_inference", "ACM", "ANNHead", "APCHead", "CCHead",
+    "CrissCrossAttention", "DAHead", "DCM", "DMHead", "DNLHead", "EMAHead",
+    "EncHead", "GCHead", "NLHead", "OCRHead", "PSAHead",
+    "SelfAttentionBlock", "encode_onehot_labels", "PointHead",
+    "calculate_uncertainty", "get_points_test", "get_points_train",
+    "point_rend_refine", "point_sample", "CGNet", "FastSCNN", "HRNet",
+    "MobileNetV3", "ResNeSt", "ResNeXt", "ResNetV1c",
 ]

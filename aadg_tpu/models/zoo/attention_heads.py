@@ -1,0 +1,665 @@
+"""Decode heads, batch 2: attention/context family.
+
+Flax/NHWC re-designs of the reference's vendored mmseg attention heads
+(`/root/reference/models/mmseg/models/decode_heads/`): non-local
+(`nl_head.py`), global-context (`gc_head.py`), disentangled non-local
+(`dnl_head.py`), criss-cross (`cc_head.py`), asymmetric non-local
+(`ann_head.py`), adaptive pyramid context (`apc_head.py`), dynamic
+multi-scale filters (`dm_head.py`), expectation-maximization attention
+(`ema_head.py`), dual attention (`da_head.py`), point-wise spatial
+attention (`psa_head.py`), context encoding (`enc_head.py`) and
+object-contextual representations (`ocr_head.py`, a cascade head).
+
+TPU-first notes: every attention is expressed as batched einsum/matmul
+(MXU work, no custom CUDA ops). The reference's CUDA kernels map as
+follows — PSAMask (`psa_head.py`) becomes a dense (HW x HW) attention
+matmul over the full feature map (the "compact" global form); criss-cross
+attention (`cc_head.py`, CUDA in mmcv) becomes two row/column einsums
+with a joint softmax; EMA's distributed `reduce_mean` base update
+(`ema_head.py:13-20`) becomes `lax.pmean` over the data axis, the same
+collective the framework's cross-replica BatchNorm uses.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .heads import ClsSeg
+from .layers import ConvModule, adaptive_avg_pool, resize, transform_inputs
+
+
+# ---------------------------------------------------------------------------
+# Shared self-attention block (mmseg ``models/utils/self_attention_block.py``)
+# ---------------------------------------------------------------------------
+
+class SelfAttentionBlock(nn.Module):
+    """query/key/value projected attention with optional key pyramid
+    sampling (used by OCR and ANN heads)."""
+    channels: int              # key/query channels
+    out_channels: int
+    key_query_num_convs: int = 2
+    value_out_num_convs: int = 1
+    matmul_norm: bool = True
+    key_pool_scales: Optional[Tuple[int, ...]] = None  # ANN pyramid sampling
+    axis_name: Optional[str] = None
+
+    def _project(self, x, features, num_convs, name, train):
+        for i in range(num_convs):
+            last = i == num_convs - 1
+            x = ConvModule(features, 1, act=None if last else "relu",
+                           axis_name=self.axis_name,
+                           name=f"{name}_{i}")(x, train)
+        return x
+
+    def _pyramid(self, x):
+        """Key/value pyramid sampling (`ann_head.py` PPMConcat): adaptive
+        pools flattened and concatenated along the token axis."""
+        if self.key_pool_scales is None:
+            return x.reshape(x.shape[0], -1, x.shape[-1])
+        toks = []
+        for s in self.key_pool_scales:
+            p = adaptive_avg_pool(x, s)
+            toks.append(p.reshape(p.shape[0], -1, p.shape[-1]))
+        return jnp.concatenate(toks, axis=1)
+
+    @nn.compact
+    def __call__(self, query_feats, key_feats, train: bool = True):
+        b, h, w, _ = query_feats.shape
+        q = self._project(query_feats, self.channels,
+                          self.key_query_num_convs, "query_project", train)
+        k = self._project(key_feats, self.channels,
+                          self.key_query_num_convs, "key_project", train)
+        v = self._project(key_feats, self.channels,
+                          self.value_out_num_convs, "value_project", train)
+        q = q.reshape(b, h * w, self.channels)
+        k = self._pyramid(k)
+        v = self._pyramid(v)
+        sim = jnp.einsum("bqc,bkc->bqk", q, k)
+        if self.matmul_norm:
+            sim = sim * (self.channels ** -0.5)
+        attn = jax.nn.softmax(sim, axis=-1)
+        ctx = jnp.einsum("bqk,bkc->bqc", attn, v)
+        ctx = ctx.reshape(b, h, w, self.channels)
+        return self._project(ctx, self.out_channels,
+                             self.value_out_num_convs, "out_project", train)
+
+
+# ---------------------------------------------------------------------------
+# FCN-with-context-block family: NL / GC / DNL / CC
+# ---------------------------------------------------------------------------
+
+class _FCNContextHead(nn.Module):
+    """Shared skeleton of NL/GC/DNL/CC heads (each is an FCNHead with a
+    context block between the two 3x3 convs, `nl_head.py:10-49`)."""
+    num_classes: int
+    channels: int = 256
+    in_index: Any = -1
+    input_transform: Optional[str] = None
+    dropout_ratio: float = 0.1
+    concat_input: bool = True
+    axis_name: Optional[str] = None
+
+    def context_block(self, x, train):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = True):
+        x = transform_inputs(inputs, self.in_index, self.input_transform)
+        y = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                       name="convs_0")(x, train)
+        y = self.context_block(y, train)
+        y = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                       name="convs_1")(y, train)
+        if self.concat_input:
+            y = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                           name="conv_cat")(
+                jnp.concatenate([x, y], axis=-1), train)
+        return ClsSeg(self.num_classes, self.dropout_ratio,
+                      name="cls")(y, train)
+
+
+class NLHead(_FCNContextHead):
+    """`nl_head.py`: embedded-gaussian NonLocal2d (reduction 2)."""
+    reduction: int = 2
+    use_scale: bool = True
+
+    def context_block(self, x, train):
+        c = self.channels
+        inter = max(c // self.reduction, 1)
+        b, h, w, _ = x.shape
+        theta = nn.Conv(inter, (1, 1), name="theta")(x).reshape(b, -1, inter)
+        phi = nn.Conv(inter, (1, 1), name="phi")(x).reshape(b, -1, inter)
+        g = nn.Conv(inter, (1, 1), name="g")(x).reshape(b, -1, inter)
+        sim = jnp.einsum("bqc,bkc->bqk", theta, phi)
+        if self.use_scale:
+            sim = sim * (inter ** -0.5)
+        y = jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(sim, -1), g)
+        y = y.reshape(b, h, w, inter)
+        y = ConvModule(c, 1, act=None, axis_name=self.axis_name,
+                       name="conv_out")(y, train)
+        return x + y
+
+
+class GCHead(_FCNContextHead):
+    """`gc_head.py`: GCNet ContextBlock — attention-pooled global context
+    passed through a channel-add bottleneck (ratio 1/4)."""
+    ratio: float = 0.25
+
+    def context_block(self, x, train):
+        b, h, w, c = x.shape
+        mask = nn.Conv(1, (1, 1), name="conv_mask")(x).reshape(b, -1)
+        mask = jax.nn.softmax(mask, axis=-1)
+        ctx = jnp.einsum("bn,bnc->bc", mask, x.reshape(b, -1, c))
+        ctx = ctx[:, None, None, :]
+        t = nn.Conv(int(c * self.ratio), (1, 1), name="channel_add_0")(ctx)
+        t = nn.LayerNorm(name="channel_add_ln")(t)
+        t = nn.relu(t)
+        t = nn.Conv(c, (1, 1), name="channel_add_1")(t)
+        return x + t
+
+
+class DNLHead(_FCNContextHead):
+    """`dnl_head.py`: disentangled non-local — whitened (mean-subtracted)
+    pairwise term plus a unary term, each attending over value g."""
+    reduction: int = 2
+    temperature: float = 0.05
+
+    def context_block(self, x, train):
+        c = self.channels
+        inter = max(c // self.reduction, 1)
+        b, h, w, _ = x.shape
+        theta = nn.Conv(inter, (1, 1), name="theta")(x).reshape(b, -1, inter)
+        phi = nn.Conv(inter, (1, 1), name="phi")(x).reshape(b, -1, inter)
+        g = nn.Conv(inter, (1, 1), name="g")(x).reshape(b, -1, inter)
+        theta = theta - jnp.mean(theta, axis=1, keepdims=True)
+        phi = phi - jnp.mean(phi, axis=1, keepdims=True)
+        sim = jnp.einsum("bqc,bkc->bqk", theta, phi) * (inter ** -0.5)
+        pairwise = jax.nn.softmax(sim / self.temperature, -1)
+        y = jnp.einsum("bqk,bkc->bqc", pairwise, g)
+        unary = nn.Conv(1, (1, 1), name="conv_mask")(x).reshape(b, -1)
+        unary = jax.nn.softmax(unary, -1)
+        y_unary = jnp.einsum("bk,bkc->bc", unary, g)[:, None, :]
+        y = (y + y_unary).reshape(b, h, w, inter)
+        y = ConvModule(c, 1, act=None, axis_name=self.axis_name,
+                       name="conv_out")(y, train)
+        return x + y
+
+
+class CrissCrossAttention(nn.Module):
+    """`cc_head.py` (CCNet): each position attends over its row and column;
+    the mmcv CUDA kernel becomes two einsums with a joint softmax."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        inter = max(self.channels // 8, 1)
+        q = nn.Conv(inter, (1, 1), name="query")(x)
+        k = nn.Conv(inter, (1, 1), name="key")(x)
+        v = nn.Conv(self.channels, (1, 1), name="value")(x)
+        b, h, w, _ = x.shape
+        # column (same w, varying h) and row (same h, varying w) energies
+        e_col = jnp.einsum("bhwc,bHwc->bhwH", q, k)
+        # mask the duplicated self position out of the column term
+        eye = jnp.eye(h, dtype=x.dtype)[None, :, None, :]
+        e_col = e_col - 1e9 * eye
+        e_row = jnp.einsum("bhwc,bhWc->bhwW", q, k)
+        attn = jax.nn.softmax(jnp.concatenate([e_col, e_row], -1), -1)
+        a_col, a_row = attn[..., :h], attn[..., h:]
+        out = (jnp.einsum("bhwH,bHwc->bhwc", a_col, v)
+               + jnp.einsum("bhwW,bhWc->bhwc", a_row, v))
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return x + gamma * out
+
+
+class CCHead(_FCNContextHead):
+    """`cc_head.py`: FCN head with 2 recurrent criss-cross steps."""
+    recurrence: int = 2
+
+    def context_block(self, x, train):
+        cca = CrissCrossAttention(self.channels, name="cca")
+        for _ in range(self.recurrence):
+            x = cca(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# ANN / APC / DM / EMA
+# ---------------------------------------------------------------------------
+
+class ANNHead(nn.Module):
+    """`ann_head.py` (ANN): AFNB fuses low- (c3) and high-level (c4)
+    features with pyramid-sampled keys, then a bottleneck and APNB
+    self-attention."""
+    num_classes: int
+    channels: int = 512
+    project_channels: int = 256
+    query_scales: Tuple[int, ...] = (1,)
+    key_pool_scales: Tuple[int, ...] = (1, 3, 6, 8)
+    in_index: Tuple[int, ...] = (2, 3)
+    dropout_ratio: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = True):
+        low, high = [inputs[i] for i in self.in_index]
+        # AFNB: query from high, key/value pyramid from low; residual.
+        fused = high + ConvModule(
+            high.shape[-1], 1, act=None, axis_name=self.axis_name,
+            name="afnb_out")(
+            SelfAttentionBlock(self.project_channels, high.shape[-1],
+                               key_query_num_convs=1, matmul_norm=False,
+                               key_pool_scales=self.key_pool_scales,
+                               axis_name=self.axis_name, name="afnb")(
+                high, low, train), train)
+        x = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                       name="bottleneck")(fused, train)
+        # APNB: self-attention with pyramid keys; residual.
+        x = x + ConvModule(
+            self.channels, 1, act=None, axis_name=self.axis_name,
+            name="apnb_out")(
+            SelfAttentionBlock(self.project_channels, self.channels,
+                               key_query_num_convs=1, matmul_norm=False,
+                               key_pool_scales=self.key_pool_scales,
+                               axis_name=self.axis_name, name="apnb")(
+                x, x, train), train)
+        return ClsSeg(self.num_classes, self.dropout_ratio,
+                      name="cls")(x, train)
+
+
+class ACM(nn.Module):
+    """`apc_head.py:12-107` Adaptive Context Module."""
+    pool_scale: int
+    channels: int
+    fusion: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        b, h, w, _ = x.shape
+        pooled = adaptive_avg_pool(x, self.pool_scale)
+        pooled = ConvModule(self.channels, 1, axis_name=self.axis_name,
+                            name="pooled_redu_conv")(pooled, train)
+        x = ConvModule(self.channels, 1, axis_name=self.axis_name,
+                       name="input_redu_conv")(x, train)
+        gi = ConvModule(self.channels, 1, axis_name=self.axis_name,
+                        name="global_info")(
+            adaptive_avg_pool(x, 1), train)
+        affinity = nn.Conv(self.pool_scale ** 2, (1, 1), name="gla")(
+            x + resize(gi, (h, w)))
+        affinity = nn.sigmoid(affinity.reshape(b, h * w, -1))
+        pooled = pooled.reshape(b, -1, self.channels)
+        z = jnp.einsum("bns,bsc->bnc", affinity, pooled)
+        z = ConvModule(self.channels, 1, axis_name=self.axis_name,
+                       name="residual_conv")(
+            z.reshape(b, h, w, self.channels), train)
+        z = nn.relu(z + x)
+        if self.fusion:
+            z = ConvModule(self.channels, 1, axis_name=self.axis_name,
+                           name="fusion_conv")(z, train)
+        return z
+
+
+class APCHead(nn.Module):
+    """`apc_head.py:110-158`: pyramid of ACMs + 3x3 bottleneck."""
+    num_classes: int
+    channels: int = 512
+    pool_scales: Tuple[int, ...] = (1, 2, 3, 6)
+    fusion: bool = True
+    in_index: Any = -1
+    input_transform: Optional[str] = None
+    dropout_ratio: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = True):
+        x = transform_inputs(inputs, self.in_index, self.input_transform)
+        outs = [x] + [ACM(s, self.channels, self.fusion,
+                          axis_name=self.axis_name, name=f"acm_{s}")(
+            x, train) for s in self.pool_scales]
+        feats = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                           name="bottleneck")(
+            jnp.concatenate(outs, axis=-1), train)
+        return ClsSeg(self.num_classes, self.dropout_ratio,
+                      name="cls")(feats, train)
+
+
+class DCM(nn.Module):
+    """`dm_head.py:11-89` Dynamic Convolutional Module: a per-sample
+    depthwise filter generated by adaptive pooling. The reference's
+    grouped-conv trick becomes k*k shifted multiply-adds (static, fusable)."""
+    filter_size: int
+    channels: int
+    fusion: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        k = self.filter_size
+        filt = nn.Conv(self.channels, (1, 1), name="filter_gen_conv")(
+            adaptive_avg_pool(x, k))  # (b, k, k, C)
+        x = ConvModule(self.channels, 1, axis_name=self.axis_name,
+                       name="input_redu_conv")(x, train)
+        b, h, w, c = x.shape
+        pad = (k - 1) // 2
+        lo, hi = (pad, pad) if (k - 1) % 2 == 0 else (pad + 1, pad)
+        xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+        out = jnp.zeros_like(x)
+        for i in range(k):
+            for j in range(k):
+                out = out + xp[:, i:i + h, j:j + w, :] * filt[:, i:i + 1,
+                                                              j:j + 1, :]
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, axis_name=self.axis_name,
+                           dtype=out.dtype, name="norm")(out)
+        out = nn.relu(out)
+        if self.fusion:
+            out = ConvModule(self.channels, 1, axis_name=self.axis_name,
+                             name="fusion_conv")(out, train)
+        return out
+
+
+class DMHead(nn.Module):
+    """`dm_head.py:92-140`: pyramid of DCMs (filters 1,3,5,7) + 3x3
+    bottleneck."""
+    num_classes: int
+    channels: int = 512
+    filter_sizes: Tuple[int, ...] = (1, 3, 5, 7)
+    fusion: bool = True
+    in_index: Any = -1
+    input_transform: Optional[str] = None
+    dropout_ratio: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = True):
+        x = transform_inputs(inputs, self.in_index, self.input_transform)
+        outs = [x] + [DCM(k, self.channels, self.fusion,
+                          axis_name=self.axis_name, name=f"dcm_{k}")(
+            x, train) for k in self.filter_sizes]
+        feats = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                           name="bottleneck")(
+            jnp.concatenate(outs, axis=-1), train)
+        return ClsSeg(self.num_classes, self.dropout_ratio,
+                      name="cls")(feats, train)
+
+
+class EMAHead(nn.Module):
+    """`ema_head.py`: expectation-maximization attention. Bases live in the
+    ``batch_stats`` collection; the training-time momentum update uses
+    `lax.pmean` over the data axis where the reference all-reduces
+    (`ema_head.py:13-20`)."""
+    num_classes: int
+    channels: int = 512
+    ema_channels: int = 256
+    num_bases: int = 64
+    num_stages: int = 3
+    momentum: float = 0.1
+    in_index: Any = -1
+    input_transform: Optional[str] = None
+    dropout_ratio: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = True):
+        x = transform_inputs(inputs, self.in_index, self.input_transform)
+        feats = ConvModule(self.ema_channels, 3, axis_name=self.axis_name,
+                           name="ema_in_conv")(x, train)
+        identity = feats
+        feats = nn.Conv(self.ema_channels, (1, 1), name="ema_mid_conv")(
+            feats)
+        b, h, w, c = feats.shape
+        flat = feats.reshape(b, h * w, c)
+        bases_var = self.variable(
+            "batch_stats", "bases",
+            lambda: _normalized_bases(self.make_rng("params")
+                                      if self.has_rng("params") else
+                                      jax.random.PRNGKey(0),
+                                      c, self.num_bases))
+        bases = jnp.broadcast_to(bases_var.value, (b, c, self.num_bases))
+        # EM iterations run without gradient (`ema_head.py:52-63`)
+        def em(bases):
+            for _ in range(self.num_stages):
+                attn = jax.nn.softmax(
+                    jnp.einsum("bnc,bck->bnk", flat, bases), axis=2)
+                attn = attn / jnp.maximum(
+                    jnp.sum(attn, axis=1, keepdims=True), 1e-12)
+                bases = jnp.einsum("bnc,bnk->bck", flat, attn)
+                bases = bases / jnp.maximum(
+                    jnp.linalg.norm(bases, axis=1, keepdims=True), 1e-12)
+            return bases
+        bases = jax.lax.stop_gradient(em(bases))
+        attn = jax.nn.softmax(
+            jnp.einsum("bnc,bck->bnk", flat, bases), axis=2)
+        recon = jnp.einsum("bnk,bck->bnc", attn, bases)
+        if train and not self.is_initializing():
+            mean_bases = jnp.mean(bases, axis=0)
+            if self.axis_name is not None:
+                mean_bases = jax.lax.pmean(mean_bases, self.axis_name)
+            bases_var.value = ((1 - self.momentum) * bases_var.value
+                               + self.momentum * mean_bases)
+        recon = nn.relu(recon.reshape(b, h, w, c))
+        recon = ConvModule(self.ema_channels, 1, act=None,
+                           axis_name=self.axis_name,
+                           name="ema_out_conv")(recon, train)
+        feats = nn.relu(identity + recon)
+        feats = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                           name="bottleneck")(feats, train)
+        return ClsSeg(self.num_classes, self.dropout_ratio,
+                      name="cls")(feats, train)
+
+
+def _normalized_bases(key, channels, num_bases):
+    import math
+    b = jax.random.normal(key, (channels, num_bases)) * math.sqrt(
+        2.0 / num_bases)
+    return b / jnp.maximum(jnp.linalg.norm(b, axis=0, keepdims=True), 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# DA / PSA / Enc / OCR
+# ---------------------------------------------------------------------------
+
+class DAHead(nn.Module):
+    """`da_head.py` (DANet): position attention + channel attention.
+    ``__call__`` returns the fused logits; with ``return_aux=True`` it also
+    returns the PAM-only and CAM-only logits for the reference's auxiliary
+    supervision (it computes losses on all three)."""
+    num_classes: int
+    channels: int = 512
+    pam_reduction: int = 8
+    in_index: Any = -1
+    input_transform: Optional[str] = None
+    dropout_ratio: float = 0.1
+    axis_name: Optional[str] = None
+
+    def _branches(self, inputs, train):
+        x = transform_inputs(inputs, self.in_index, self.input_transform)
+        # position attention
+        p = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                       name="pam_in_conv")(x, train)
+        b, h, w, c = p.shape
+        inter = max(c // self.pam_reduction, 1)
+        q = nn.Conv(inter, (1, 1), name="pam_query")(p).reshape(b, -1, inter)
+        k = nn.Conv(inter, (1, 1), name="pam_key")(p).reshape(b, -1, inter)
+        v = nn.Conv(c, (1, 1), name="pam_value")(p).reshape(b, -1, c)
+        attn = jax.nn.softmax(jnp.einsum("bqc,bkc->bqk", q, k), -1)
+        gamma_p = self.param("pam_gamma", nn.initializers.zeros, ())
+        pam = p + gamma_p * jnp.einsum(
+            "bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
+        pam = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                         name="pam_out_conv")(pam, train)
+        # channel attention
+        ca = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                        name="cam_in_conv")(x, train)
+        flat = ca.reshape(b, -1, c)
+        energy = jnp.einsum("bnc,bnd->bcd", flat, flat)
+        energy = jnp.max(energy, axis=-1, keepdims=True) - energy
+        attn_c = jax.nn.softmax(energy, -1)
+        gamma_c = self.param("cam_gamma", nn.initializers.zeros, ())
+        cam = ca + gamma_c * jnp.einsum(
+            "bcd,bnd->bnc", attn_c, flat).reshape(b, h, w, c)
+        cam = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                         name="cam_out_conv")(cam, train)
+        return pam, cam
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = True,
+                 return_aux: bool = False):
+        pam, cam = self._branches(inputs, train)
+        fused = ClsSeg(self.num_classes, self.dropout_ratio,
+                       name="cls")(pam + cam, train)
+        pam_l = ClsSeg(self.num_classes, self.dropout_ratio,
+                       name="pam_cls")(pam, train)
+        cam_l = ClsSeg(self.num_classes, self.dropout_ratio,
+                       name="cam_cls")(cam, train)
+        if return_aux:
+            return fused, pam_l, cam_l
+        return fused
+
+
+class PSAHead(nn.Module):
+    """`psa_head.py` (PSANet): bi-directional point-wise spatial attention.
+    The PSAMask CUDA op becomes the dense global attention matmul (its
+    "compact" form): collect uses softmax over source positions,
+    distribute over target positions."""
+    num_classes: int
+    channels: int = 512
+    in_index: Any = -1
+    input_transform: Optional[str] = None
+    dropout_ratio: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = True):
+        x = transform_inputs(inputs, self.in_index, self.input_transform)
+        identity = x
+        outs = []
+        for dirn, axis in (("collect", -1), ("distribute", -2)):
+            y = ConvModule(self.channels, 1, axis_name=self.axis_name,
+                           name=f"reduce_{dirn}")(x, train)
+            b, h, w, c = y.shape
+            a = ConvModule(self.channels, 1, axis_name=self.axis_name,
+                           name=f"attention_{dirn}_0")(y, train)
+            a = nn.Conv(h * w, (1, 1), use_bias=False,
+                        name=f"attention_{dirn}_1")(a)
+            a = jax.nn.softmax(a.reshape(b, h * w, h * w), axis=axis)
+            outs.append(jnp.einsum(
+                "bqk,bkc->bqc", a, y.reshape(b, h * w, c)).reshape(
+                b, h, w, c))
+        y = ConvModule(identity.shape[-1], 1, axis_name=self.axis_name,
+                       name="proj")(jnp.concatenate(outs, -1), train)
+        feats = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                           name="bottleneck")(
+            jnp.concatenate([identity, y], -1), train)
+        return ClsSeg(self.num_classes, self.dropout_ratio,
+                      name="cls")(feats, train)
+
+
+class EncHead(nn.Module):
+    """`enc_head.py` (EncNet): residual encoding over learned codewords
+    gates the channels; optional se head predicts which classes are
+    present. ``forward_train`` returns (logits, se_logits)."""
+    num_classes: int
+    channels: int = 512
+    num_codes: int = 32
+    add_lateral: bool = False
+    use_se_loss: bool = True
+    in_index: Tuple[int, ...] = (0, 1, 2, 3)
+    dropout_ratio: float = 0.1
+    axis_name: Optional[str] = None
+
+    def _encode(self, inputs, train):
+        xs = [inputs[i] for i in self.in_index]
+        feat = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                          name="bottleneck")(xs[-1], train)
+        if self.add_lateral:
+            laterals = [resize(ConvModule(
+                self.channels, 1, axis_name=self.axis_name,
+                name=f"lateral_{i}")(x, train),
+                (feat.shape[1], feat.shape[2]))
+                for i, x in enumerate(xs[:-1])]
+            feat = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                              name="fusion")(
+                jnp.concatenate([feat] + laterals, -1), train)
+        b, h, w, c = feat.shape
+        # encoding: soft-assign residuals to codewords
+        codewords = self.param(
+            "codewords", nn.initializers.uniform(scale=1.0 / c ** 0.5),
+            (self.num_codes, c))
+        scale = self.param("scale", nn.initializers.uniform(scale=1.0),
+                           (self.num_codes,))
+        flat = feat.reshape(b, h * w, c)
+        resid = flat[:, :, None, :] - codewords[None, None]   # (b,n,K,c)
+        dist = jnp.sum(resid ** 2, -1) * (-scale)[None, None]
+        assign = jax.nn.softmax(dist, axis=2)                 # (b,n,K)
+        encoded = jnp.einsum("bnk,bnkc->bkc", assign, resid)  # (b,K,c)
+        encoded = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, axis_name=self.axis_name,
+                               name="enc_bn")(encoded)
+        encoded = nn.relu(encoded)
+        enc_feat = jnp.mean(encoded, axis=1)                  # (b,c)
+        gamma = nn.sigmoid(nn.Dense(c, name="fc")(enc_feat))
+        out = feat * gamma[:, None, None, :]
+        return out, enc_feat
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = True,
+                 return_se: bool = False):
+        out, enc_feat = self._encode(inputs, train)
+        logits = ClsSeg(self.num_classes, self.dropout_ratio,
+                        name="cls")(out, train)
+        if self.use_se_loss:
+            se = nn.Dense(self.num_classes, name="se_layer")(enc_feat)
+            if return_se:
+                return logits, se
+        return logits
+
+
+def encode_onehot_labels(seg_label: jnp.ndarray,
+                         num_classes: int) -> jnp.ndarray:
+    """`enc_head.py:158-176`: multi-hot 'which classes appear' targets for
+    the se loss."""
+    onehot = jax.nn.one_hot(seg_label.reshape(seg_label.shape[0], -1),
+                            num_classes)
+    return (jnp.sum(onehot, axis=1) > 0).astype(jnp.float32)
+
+
+class OCRHead(nn.Module):
+    """`ocr_head.py` (cascade head): soft class regions from the previous
+    head's logits gather object context; pixels attend over the object
+    representations. Call as ``head(feats, prev_logits, train)``."""
+    num_classes: int
+    channels: int = 512
+    ocr_channels: int = 256
+    scale: float = 1.0
+    in_index: Any = -1
+    input_transform: Optional[str] = None
+    dropout_ratio: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, prev_output, train: bool = True):
+        x = transform_inputs(inputs, self.in_index, self.input_transform)
+        feats = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                           name="bottleneck")(x, train)
+        b, h, w, c = feats.shape
+        prev = resize(prev_output, (h, w))
+        probs = jax.nn.softmax(
+            self.scale * prev.reshape(b, h * w, -1), axis=1)
+        # object context: (b, classes, c) soft-pooled pixel features
+        context = jnp.einsum("bnk,bnc->bkc", probs,
+                             feats.reshape(b, h * w, c))
+        context = context[:, None]  # (b, 1, K, c) as a pseudo-image
+        attended = SelfAttentionBlock(
+            self.ocr_channels, c, key_query_num_convs=2, matmul_norm=True,
+            axis_name=self.axis_name, name="object_attention")(
+            feats, context, train)
+        out = ConvModule(c, 1, axis_name=self.axis_name,
+                         name="oab_bottleneck")(
+            jnp.concatenate([attended, feats], -1), train)
+        return ClsSeg(self.num_classes, self.dropout_ratio,
+                      name="cls")(out, train)

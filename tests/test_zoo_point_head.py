@@ -1,0 +1,72 @@
+"""PointRend head: point sampling vs torch grid_sample, train-time
+importance sampling, subdivision refinement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from aadg_tpu.models.zoo import (PointHead, calculate_uncertainty,
+                                 get_points_test, get_points_train,
+                                 point_rend_refine, point_sample)
+
+
+def test_point_sample_matches_grid_sample(rng):
+    feat = rng.normal(size=(2, 7, 9, 4)).astype(np.float32)
+    coords = rng.uniform(0.05, 0.95, size=(2, 13, 2)).astype(np.float32)
+    ours = point_sample(jnp.asarray(feat), jnp.asarray(coords))
+    t_feat = torch.tensor(feat).permute(0, 3, 1, 2)
+    grid = torch.tensor(coords).unsqueeze(2) * 2 - 1  # (B,P,1,2) in [-1,1]
+    t = F.grid_sample(t_feat, grid, align_corners=False,
+                      padding_mode="border")
+    t = t.squeeze(-1).permute(0, 2, 1)  # (B,P,C)
+    np.testing.assert_allclose(np.asarray(ours), t.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_uncertainty_margin():
+    logits = jnp.asarray([[[[2.0, 1.0, 0.0], [5.0, 4.9, 0.0]]]])
+    u = calculate_uncertainty(logits)
+    np.testing.assert_allclose(np.asarray(u[0, 0]), [-1.0, -0.1], rtol=1e-5)
+
+
+def test_get_points_train_shapes_and_uncertain_bias(rng):
+    # a logit map with one highly-ambiguous stripe: importance sampling
+    # should place many points there
+    logits = np.full((1, 8, 8, 2), 0.0, np.float32)
+    logits[..., 0] = 5.0
+    logits[0, :, 3, 0] = 0.01  # ambiguous column x=3
+    pts = get_points_train(jnp.asarray(logits), 64, oversample_ratio=4,
+                           importance_sample_ratio=0.75,
+                           rng=jax.random.PRNGKey(0))
+    assert pts.shape == (1, 64, 2)
+    xs = np.asarray(pts[0, :48, 0])  # the importance-sampled slice
+    # bilinear sampling bleeds uncertainty into neighbour columns, so use
+    # a loose bound: uniform would put ~0.125 in the stripe
+    frac_in_stripe = np.mean((xs > 3 / 8) & (xs < 4 / 8))
+    assert frac_in_stripe > 0.3
+
+
+def test_point_rend_refine_changes_uncertain_pixels(rng):
+    feats = [jnp.asarray(rng.normal(size=(1, 8, 8, 6)).astype(np.float32))]
+    coarse = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    head = PointHead(num_classes=3, channels=16, num_fcs=2)
+    coords0 = jnp.zeros((1, 4, 2)) + 0.5
+    v = head.init(jax.random.PRNGKey(0), feats, coarse, coords0,
+                  train=False)
+
+    def head_apply(fs, logits, coords):
+        return head.apply(v, fs, logits, coords, train=False)
+
+    out = point_rend_refine(head_apply, feats, coarse,
+                            subdivision_steps=2,
+                            subdivision_num_points=32)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    up = jax.image.resize(coarse, (1, 32, 32, 3), "bilinear")
+    up = jax.image.resize(
+        jax.image.resize(coarse, (1, 16, 16, 3), "bilinear"),
+        (1, 32, 32, 3), "bilinear")
+    # refined map differs from plain upsampling at some points
+    assert np.abs(np.asarray(out) - np.asarray(up)).max() > 1e-4
