@@ -30,9 +30,12 @@ def domain_parser(dataset: str) -> int:
 
 
 def channel_parser(backbone: str) -> int:
-    return {"mobilenet_v2": 1280, "unet": 512,
-            "mit_b0": 256, "mit_b1": 512, "mit_b2": 512, "mit_b3": 512}[
-        backbone]
+    table = {"mobilenet_v2": 1280, "unet": 512,
+             "mit_b0": 256, "mit_b1": 512, "mit_b2": 512, "mit_b3": 512}
+    if backbone in table:
+        return table[backbone]
+    from .zoo.builder import build_backbone
+    return build_backbone(backbone)[1]
 
 
 def build_model(cfg, axis_name=None):
@@ -56,6 +59,11 @@ def build_model(cfg, axis_name=None):
         return SegFormer(num_classes=num_classes,
                          variant=cfg.MODEL.BACKBONE or "mit_b1",
                          axis_name=axis_name)
+    from .zoo.builder import ZOO_ARCHS, build_segmentor
+    if name in ZOO_ARCHS:
+        model, _ = build_segmentor(name, cfg.MODEL.BACKBONE, num_classes,
+                                   axis_name=axis_name)
+        return model
     raise NotImplementedError(name + " has not been implemented!")
 
 

@@ -1,0 +1,105 @@
+"""Config-name -> zoo segmentor factories.
+
+The functional replacement for mmseg's registry/builder machinery
+(`/root/reference/models/mmseg/models/builder.py`): plain dictionaries
+from names to constructors, so ``MODEL.NAME: pspnet`` +
+``MODEL.BACKBONE: resnet50_v1c`` in a YAML builds the same architecture
+family the reference's configs would. Every segmentor obeys the
+framework contract ``(x, train) -> (seg_logits, pooled_feature)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .backbones import (CGNet, FastSCNN, HRNet, MobileNetV3, ResNeSt,
+                        ResNeXt, ResNetV1c)
+from .heads import (ASPPHead, DepthwiseSeparableASPPHead,
+                    DepthwiseSeparableFCNHead, FCNHead, FPNHead, LRASPPHead,
+                    PSPHead, UPerHead)
+from .attention_heads import (ANNHead, APCHead, CCHead, DAHead, DMHead,
+                              DNLHead, EMAHead, EncHead, GCHead, NLHead,
+                              OCRHead, PSAHead)
+from .necks import FPN
+from .segmentor import CascadeEncoderDecoder, EncoderDecoder
+
+
+def build_backbone(name: str, axis_name: Optional[str] = None):
+    """Returns (backbone module, last-stage feature channels)."""
+    table = {
+        "resnet50_v1c": (lambda: ResNetV1c(50, axis_name=axis_name), 2048),
+        "resnet101_v1c": (lambda: ResNetV1c(101, axis_name=axis_name), 2048),
+        "resnext50": (lambda: ResNeXt(50, axis_name=axis_name), 2048),
+        "resnext101": (lambda: ResNeXt(101, axis_name=axis_name), 2048),
+        "resnest50": (lambda: ResNeSt(50, axis_name=axis_name), 2048),
+        "resnest101": (lambda: ResNeSt(101, axis_name=axis_name), 2048),
+        "hrnet_w18": (lambda: HRNet(18, axis_name=axis_name), 144),
+        "hrnet_w32": (lambda: HRNet(32, axis_name=axis_name), 256),
+        "hrnet_w48": (lambda: HRNet(48, axis_name=axis_name), 384),
+        "mobilenet_v3_large": (
+            lambda: MobileNetV3("large", axis_name=axis_name), 160),
+        "mobilenet_v3_small": (
+            lambda: MobileNetV3("small", axis_name=axis_name), 96),
+        "fast_scnn": (lambda: FastSCNN(axis_name=axis_name), 128),
+        "cgnet": (lambda: CGNet(axis_name=axis_name), 256),
+    }
+    fn, ch = table[name]
+    return fn(), ch
+
+
+# arch name -> decode-head constructor (mmseg config-family defaults)
+def _head(arch: str, num_classes: int, axis_name):
+    k = dict(num_classes=num_classes, axis_name=axis_name)
+    table = {
+        "fcn": lambda: FCNHead(channels=512, **k),
+        "pspnet": lambda: PSPHead(channels=512, **k),
+        "deeplabv3": lambda: ASPPHead(channels=512, **k),
+        "deeplabv3plus": lambda: DepthwiseSeparableASPPHead(
+            channels=512, **k),
+        "upernet": lambda: UPerHead(channels=512, **k),
+        "sem_fpn": lambda: FPNHead(channels=128, **k),
+        "lraspp": lambda: LRASPPHead(channels=128, **k),
+        "nonlocal_net": lambda: NLHead(channels=512, **k),
+        "gcnet": lambda: GCHead(channels=512, **k),
+        "dnlnet": lambda: DNLHead(channels=512, **k),
+        "ccnet": lambda: CCHead(channels=512, **k),
+        "annnet": lambda: ANNHead(channels=512, **k),
+        "apcnet": lambda: APCHead(channels=512, **k),
+        "dmnet": lambda: DMHead(channels=512, **k),
+        "emanet": lambda: EMAHead(channels=256, **k),
+        "danet": lambda: DAHead(channels=512, **k),
+        "psanet": lambda: PSAHead(channels=512, **k),
+        "encnet": lambda: EncHead(channels=512, **k),
+        "fast_scnn": lambda: DepthwiseSeparableFCNHead(
+            channels=128, in_index=2, **k),
+    }
+    return table[arch]()
+
+
+ZOO_ARCHS = ("fcn", "pspnet", "deeplabv3", "deeplabv3plus", "upernet",
+             "sem_fpn", "lraspp", "nonlocal_net", "gcnet", "dnlnet",
+             "ccnet", "annnet", "apcnet", "dmnet", "emanet", "danet",
+             "psanet", "encnet", "ocrnet", "fast_scnn")
+
+
+def build_segmentor(arch: str, backbone: str, num_classes: int,
+                    axis_name: Optional[str] = None):
+    """Returns (EncoderDecoder module, pooled-feature channels)."""
+    bb, feat_ch = build_backbone(backbone, axis_name)
+    neck = None
+    if arch == "sem_fpn":
+        neck = FPN(out_channels=256, num_outs=4, axis_name=axis_name)
+        feat_ch = 256
+    if arch == "ocrnet":
+        # cascade: FCN first, OCR refiner (mmseg ocrnet configs)
+        model = CascadeEncoderDecoder(
+            backbone=bb,
+            decode_head=FCNHead(num_classes=num_classes, channels=512,
+                                num_convs=1, concat_input=False,
+                                axis_name=axis_name),
+            cascade_heads=(OCRHead(num_classes=num_classes, channels=512,
+                                   ocr_channels=256, axis_name=axis_name),))
+        return model, feat_ch
+    model = EncoderDecoder(backbone=bb, neck=neck,
+                           decode_head=_head(arch, num_classes, axis_name))
+    return model, feat_ch

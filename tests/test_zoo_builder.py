@@ -1,0 +1,54 @@
+"""Zoo builder: config-name surface + framework model contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aadg_tpu.config import load_config
+from aadg_tpu.models import build_model, channel_parser
+from aadg_tpu.models.zoo.builder import ZOO_ARCHS, build_segmentor
+
+
+def test_channel_parser_zoo_backbones():
+    assert channel_parser("hrnet_w18") == 144
+    assert channel_parser("resnest50") == 2048
+    assert channel_parser("mobilenet_v2") == 1280  # legacy path intact
+
+
+@pytest.mark.slow
+def test_build_model_via_config_zoo():
+    cfg = load_config()
+    cfg.defrost()
+    cfg.DATASET.NAME = "synthetic_optic"
+    cfg.MODEL.NAME = "lraspp"
+    cfg.MODEL.BACKBONE = "mobilenet_v3_small"
+    cfg.freeze()
+    model = build_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits, pooled = model.apply(v, x, train=False)
+    assert logits.shape == (1, 64, 64, 2)
+    assert pooled.shape == (1, 96)  # matches channel_parser -> disc in_ch
+    assert pooled.shape[-1] == channel_parser("mobilenet_v3_small")
+
+
+@pytest.mark.slow
+def test_build_segmentor_ocrnet_cascade():
+    model, feat_ch = build_segmentor("ocrnet", "hrnet_w18", 2)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits, pooled = model.apply(v, x, train=False)
+    assert logits.shape == (1, 32, 32, 2)
+    assert pooled.shape == (1, feat_ch)
+
+
+def test_zoo_archs_all_have_heads():
+    # every advertised arch must construct (tiny backbone to keep it cheap)
+    for arch in ZOO_ARCHS:
+        if arch in ("ocrnet",):
+            continue
+        backbone = ("fast_scnn" if arch == "fast_scnn" else
+                    "mobilenet_v3_small" if arch == "lraspp" else "cgnet")
+        model, _ = build_segmentor(arch, backbone, 2)
+        assert model is not None
