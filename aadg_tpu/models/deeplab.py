@@ -44,13 +44,17 @@ class SeparableConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # XLA's native grouped conv is the fast path here even when
+        # dilated: shifted-add alternatives (ops/convs.py) measured
+        # faster in isolated microbenches but slower inside the fused
+        # full-step program (1438 -> 1296 img/s) — see ops/convs.py.
         in_ch = x.shape[-1]
-        pad = self.dilation
-        x = nn.Conv(in_ch, (3, 3), padding=pad, feature_group_count=in_ch,
+        x = nn.Conv(in_ch, (3, 3), padding=self.dilation,
+                    feature_group_count=in_ch,
                     kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, dtype=self.dtype)(x)
+                    use_bias=False, dtype=self.dtype, name="Conv_0")(x)
         x = nn.Conv(self.features, (1, 1), use_bias=False,
-                    dtype=self.dtype)(x)
+                    dtype=self.dtype, name="Conv_1")(x)
         x = _bn(self.axis_name, train, self.dtype)(x)
         return nn.relu(x)
 
