@@ -124,9 +124,11 @@ def build_entities(cfg: CfgNode, mode: str = "search",
     crop = int(cfg.TPU.CROP_SIZE)
 
     model = build_model(cfg, axis_name=axis_name)
-    feature_dim = (channel_parser(cfg.MODEL.BACKBONE)
-                   if cfg.MODEL.NAME == "deeplabv3+"
-                   else model.feature_dim)
+    # pooled-feature width feeding the discriminator: models expose it as
+    # a property; zoo EncoderDecoders derive it from the backbone
+    feature_dim = getattr(model, "feature_dim", None)
+    if feature_dim is None:
+        feature_dim = channel_parser(cfg.MODEL.BACKBONE)
     disc = build_discriminator(cfg.DISCRIMINATOR.NAME, n_domains,
                                feature_dim)
 

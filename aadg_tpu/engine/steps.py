@@ -27,15 +27,18 @@ from ..ops.sinkhorn import pairwise_domain_ot
 from .state import Entities, SegDisState
 
 
-def _apply_model(ent: Entities, params, stats, x, train: bool):
+def _apply_model(ent: Entities, params, stats, x, train: bool, rng=None):
     variables = {"params": params}
     if stats:
         variables["batch_stats"] = stats
+    # dropout rng: the flagship models are dropout-free, but zoo decode
+    # heads carry mmseg's dropout_ratio=0.1 classifier dropout
+    rngs = {"dropout": rng} if (train and rng is not None) else None
     if train and stats:
         (logits, feat), upd = ent.model.apply(
-            variables, x, train=True, mutable=["batch_stats"])
+            variables, x, train=True, mutable=["batch_stats"], rngs=rngs)
         return logits, feat, upd["batch_stats"]
-    logits, feat = ent.model.apply(variables, x, train=train)
+    logits, feat = ent.model.apply(variables, x, train=train, rngs=rngs)
     return logits, feat, stats
 
 
@@ -93,7 +96,7 @@ def make_pretrain_step(ent: Entities, axis_name: Optional[str] = None):
         imgs = imgs.reshape((n,) + imgs.shape[2:])
         masks = masks.reshape((n,) + masks.shape[2:])
         dcs = dcs.reshape((n,))
-        k_t, k_d = jax.random.split(key)
+        k_t, k_d, k_drop = jax.random.split(key, 3)
         x, y = jax.vmap(ent.transform)(imgs, masks,
                                        jax.random.split(k_t, n))
         dc_soft = jax.vmap(
@@ -102,7 +105,7 @@ def make_pretrain_step(ent: Entities, axis_name: Optional[str] = None):
 
         def loss_fn(seg_params, dis_params):
             logits, feat, new_seg_stats = _apply_model(
-                ent, seg_params, ts.seg_stats, x, train=True)
+                ent, seg_params, ts.seg_stats, x, train=True, rng=k_drop)
             seg_soft = jax.nn.sigmoid(logits)
             seg_loss = bce_loss(seg_soft, y)
             dis_out, new_dis_stats = _apply_disc(
@@ -194,7 +197,7 @@ def make_search_step(ent: Entities, M: int,
         imgs = imgs.reshape((n0,) + imgs.shape[2:])
         masks = masks.reshape((n0,) + masks.shape[2:])
         dcs = dcs.reshape((n0,))
-        k_aug, k_t, k_d = jax.random.split(key, 3)
+        k_aug, k_t, k_d, k_drop = jax.random.split(key, 4)
 
         aug_i, aug_m = ent.multi_policy(imgs, masks, policies, k_aug)
         if not aug_labels_from_augmented:
@@ -214,7 +217,7 @@ def make_search_step(ent: Entities, M: int,
 
         def loss_fn(seg_params, dis_params):
             logits, feat, new_seg_stats = _apply_model(
-                ent, seg_params, ts.seg_stats, x, train=True)
+                ent, seg_params, ts.seg_stats, x, train=True, rng=k_drop)
             seg_soft = jax.nn.sigmoid(logits)
             seg_loss = bce_loss(seg_soft, y)
             # online branch trains (`search_dg.py:137-138,174-176`)
