@@ -206,10 +206,13 @@ def sharpness(img, mask, v, key):
     # PIL's kernel filter quantizes the degenerate image with rounding
     # (+0.5), unlike the truncating LUT/blend ops
     sm = jnp.clip(jnp.floor(sm + 0.5), 0.0, 255.0)
-    # border: degenerate == img there, and blend(img, img, v) == img
-    # exactly for integer pixels — so only the interior needs the blend
-    out = img.at[1:-1, 1:-1, :].set(_blend(sm, img[1:-1, 1:-1, :], v))
-    return out, mask
+    # border: PIL leaves the 1-pixel border unfiltered (copied from the
+    # source), so only the interior is blended. A static border mask +
+    # where lowers to one fused select pass; .at[].set() lowered to an XLA
+    # scatter costing ~10 ms/step at 512² in the vmapped hot path.
+    sm_full = jnp.pad(sm, ((1, 1), (1, 1), (0, 0)))
+    interior = jnp.zeros((h, w, 1), jnp.bool_).at[1:-1, 1:-1, :].set(True)
+    return jnp.where(interior, _blend(sm_full, img, v), img), mask
 
 
 def gamma_correction(img, mask, v, key):
@@ -428,6 +431,192 @@ def apply_augment(img, mask, name: str, level, key):
     return fn(img, mask, level * (high - low) + low, key)
 
 
+# ---------------------------------------------------------------------------
+# Fused search-space switcher
+#
+# Under vmap, lax.switch over ops executes EVERY branch for every sample
+# and selects — so the per-slot cost is the *sum* of all op costs. The
+# search space (`data/basic.py:231-243`) is photometric + Cutout, and all
+# of its ops except Color/Sharpness/Cutout are per-channel 256-entry
+# integer LUTs on uint8 pixels. The fused switcher therefore:
+#   1. computes shared statistics once (per-channel histograms via nibble
+#      one-hot MXU matmuls, PIL fixed-point luma, its mean),
+#   2. builds each op's (3, 256) LUT (256-wide math — trivial) and selects
+#      the active one by op index,
+#   3. applies ONE LUT via the nibble-factored matmul path, and
+#   4. selects among just 4 full-size candidates (LUT result, Color,
+#      Sharpness, Cutout) instead of 10.
+# Semantics are bit-identical to the per-op branches (same integer LUT
+# contents, same truncation); tests/test_augment_fused.py checks
+# fused == generic for every op x magnitude.
+# ---------------------------------------------------------------------------
+
+_LUT_OPS = ("AutoContrast", "Invert", "Equalize", "Solarize", "Posterize",
+            "Contrast", "Brightness")
+_FUSABLE_OPS = _LUT_OPS + ("Color", "Sharpness", "Cutout")
+
+
+def _lut_autocontrast(hist3, total, mean_luma, v, bins):
+    del total, mean_luma, v
+    idx = jnp.arange(256, dtype=jnp.int32)
+    nz = hist3 > 0
+    lo = jnp.min(jnp.where(nz, idx[None, :], 256), axis=1).astype(
+        jnp.float32)
+    hi = jnp.max(jnp.where(nz, idx[None, :], -1), axis=1).astype(
+        jnp.float32)
+    scale = 255.0 / jnp.maximum(hi - lo, 1.0)
+    lut = _quantize((bins[None, :] - lo[:, None]) * scale[:, None])
+    return jnp.where((hi > lo)[:, None], lut, bins[None, :])
+
+
+def _lut_invert(hist3, total, mean_luma, v, bins):
+    del hist3, total, mean_luma, v
+    return jnp.broadcast_to(255.0 - bins, (3, 256))
+
+
+def _lut_equalize(hist3, total, mean_luma, v, bins):
+    del mean_luma, v
+    ibins = jnp.arange(256, dtype=jnp.int32)
+
+    def per_channel(hist):
+        hist = hist.astype(jnp.int32)
+        nz = hist > 0
+        idx_last = 255 - jnp.argmax(nz[::-1])
+        step = (total - jnp.sum(
+            jnp.where(ibins == idx_last, hist, 0))) // 255
+        n0 = step // 2
+        csum_excl = jnp.cumsum(hist) - hist
+        lut = jnp.clip((n0 + csum_excl) // jnp.maximum(step, 1), 0, 255)
+        return jnp.where(step > 0, lut, ibins).astype(jnp.float32)
+
+    return jax.vmap(per_channel)(hist3)
+
+
+def _lut_solarize(hist3, total, mean_luma, v, bins):
+    del hist3, total, mean_luma
+    return jnp.broadcast_to(jnp.where(bins < v, bins, 255.0 - bins),
+                            (3, 256))
+
+
+def _lut_posterize(hist3, total, mean_luma, v, bins):
+    del hist3, total, mean_luma
+    bits = jnp.floor(v).astype(jnp.int32)
+    keep = jnp.left_shift(jnp.int32(0xFF), 8 - bits) & 0xFF
+    lut = (bins.astype(jnp.int32) & keep).astype(jnp.float32)
+    return jnp.broadcast_to(lut, (3, 256))
+
+
+def _lut_contrast(hist3, total, mean_luma, v, bins):
+    del hist3, total
+    return jnp.broadcast_to(_blend(mean_luma, bins, v), (3, 256))
+
+
+def _lut_brightness(hist3, total, mean_luma, v, bins):
+    del hist3, total, mean_luma
+    return jnp.broadcast_to(_blend(0.0, bins, v), (3, 256))
+
+
+_LUT_BUILDERS = {
+    "AutoContrast": _lut_autocontrast, "Invert": _lut_invert,
+    "Equalize": _lut_equalize, "Solarize": _lut_solarize,
+    "Posterize": _lut_posterize, "Contrast": _lut_contrast,
+    "Brightness": _lut_brightness,
+}
+
+
+def make_fused_op_switcher(op_names: List[str]):
+    """LUT-fused switcher for search-space op sets; None if ``op_names``
+    contains an op outside the fusable set (caller falls back to the
+    generic lax.switch)."""
+    if not set(op_names) <= set(_FUSABLE_OPS):
+        return None
+    K = len(op_names)
+    lut_names = [n for n in op_names if n in _LUT_OPS]
+    lows = jnp.asarray([OP_TABLE[OP_INDEX[n]][2] for n in op_names],
+                       jnp.float32)
+    highs = jnp.asarray([OP_TABLE[OP_INDEX[n]][3] for n in op_names],
+                        jnp.float32)
+    # candidate index per op: 0 = LUT result, then Color/Sharpness/Cutout
+    specials = [n for n in ("Color", "Sharpness", "Cutout")
+                if n in op_names]
+    case_of = {n: (1 + specials.index(n) if n in specials else 0)
+               for n in op_names}
+    case_map = jnp.asarray([case_of[n] for n in op_names], jnp.int32)
+    lut_slot = jnp.asarray(
+        [lut_names.index(n) if n in lut_names else 0 for n in op_names],
+        jnp.int32)
+    need_hist = any(n in ("AutoContrast", "Equalize") for n in lut_names)
+    need_luma = any(n in ("Contrast", "Color") for n in op_names)
+    need_mean = "Contrast" in lut_names
+    bins = jnp.arange(256, dtype=jnp.float32)
+
+    def switcher(op_idx, level, img, mask, key):
+        h, w, _ = img.shape
+        total = h * w
+        v_all = level * (highs - lows) + lows  # (K,) per-op magnitudes
+
+        luma = _luma(img) if need_luma else None
+        mean_luma = (jnp.floor(jnp.mean(luma) + 0.5) if need_mean
+                     else jnp.float32(0.0))
+
+        out_img = img
+        out_mask = mask
+        if lut_names:
+            vals = img.reshape(-1, 3).astype(jnp.int32)  # (P, 3)
+            hi_oh, lo_oh = jax.vmap(_nibble_one_hots, in_axes=1,
+                                    out_axes=0)(vals)  # (3, P, 16) bf16
+            if need_hist:
+                hist3 = jax.vmap(
+                    lambda a, b: jax.lax.dot_general(
+                        a, b, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))(
+                            hi_oh, lo_oh).reshape(3, 256)
+            else:
+                hist3 = jnp.zeros((3, 256), jnp.float32)
+
+            luts = jnp.stack([
+                _LUT_BUILDERS[n](hist3, total, mean_luma,
+                                 v_all[op_names.index(n)], bins)
+                for n in lut_names])  # (Kl, 3, 256)
+            sel = jax.nn.one_hot(lut_slot[op_idx], len(lut_names),
+                                 dtype=jnp.float32)
+            lut = jnp.einsum("k,kcb->cb", sel, luts)  # (3, 256)
+
+            # apply: out[p,c] = lut[c, img[p,c]] via nibble matmuls; every
+            # value involved is an exact small integer, so bf16 is exact
+            # and halves the (P, 16) temp traffic
+            lut16 = lut.reshape(3, 16, 16).astype(jnp.bfloat16)
+            t = jax.vmap(lambda lo, lc: jnp.dot(
+                lo, lc.T, preferred_element_type=jnp.bfloat16))(
+                    lo_oh, lut16)  # (3, P, 16)
+            lut_out = jnp.sum(t * hi_oh, axis=2,
+                              dtype=jnp.float32)  # (3, P)
+            out_img = lut_out.T.reshape(img.shape)
+
+        candidates = [out_img]
+        for name in specials:
+            v = v_all[op_names.index(name)]
+            if name == "Color":
+                candidates.append(_blend(luma[..., None], img, v))
+            elif name == "Sharpness":
+                candidates.append(sharpness(img, mask, v, key)[0])
+            else:  # Cutout
+                cut_i, cut_m = cutout(img, mask, v, key)
+                candidates.append(cut_i)
+                out_mask = jnp.where(case_map[op_idx] == case_of["Cutout"],
+                                     cut_m, mask)
+        if len(candidates) > 1:
+            out_img = _static_select(case_map[op_idx], candidates)
+        return out_img, out_mask
+
+    return switcher
+
+
+def _static_select(idx, candidates):
+    """select_n over a short static candidate list."""
+    return jax.lax.select_n(idx, *candidates)
+
+
 def make_op_switcher(op_names: List[str]) -> Callable:
     """Build ``(op_idx, level, img, mask, key) -> (img, mask)`` dispatching
     via lax.switch over ``op_names`` (the active search space)."""
@@ -454,7 +643,7 @@ def make_policy_applier(op_names: List[str], n_subpolicies: int,
     ``policy`` is an int32 array of shape (Q, L, 2) holding (op_idx,
     mag_idx) pairs; a random sub-policy q is drawn per call (reference
     `data/policy.py:23`), then its L ops run sequentially."""
-    switcher = make_op_switcher(op_names)
+    switcher = make_fused_op_switcher(op_names) or make_op_switcher(op_names)
 
     def apply(img, mask, policy, key):
         kq, kops = jax.random.split(key)
