@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -524,12 +524,21 @@ _LUT_BUILDERS = {
 }
 
 
-def make_fused_op_switcher(op_names: List[str]):
+def make_fused_op_switcher(op_names: List[str],
+                           use_pallas: Optional[bool] = None):
     """LUT-fused switcher for search-space op sets; None if ``op_names``
     contains an op outside the fusable set (caller falls back to the
-    generic lax.switch)."""
+    generic lax.switch).
+
+    ``use_pallas`` (default off) routes the histogram + LUT application
+    through the VMEM-resident Pallas kernels (`ops/lut_pallas.py`)
+    instead of the jnp one-hot matmuls — bit-identical results; measured
+    at parity on TPU (see lut_pallas.py docstring), kept opt-in."""
     if not set(op_names) <= set(_FUSABLE_OPS):
         return None
+    from . import lut_pallas as _lutp
+    if use_pallas is None:
+        use_pallas = _lutp.use_pallas_default()
     K = len(op_names)
     lut_names = [n for n in op_names if n in _LUT_OPS]
     lows = jnp.asarray([OP_TABLE[OP_INDEX[n]][2] for n in op_names],
@@ -562,17 +571,23 @@ def make_fused_op_switcher(op_names: List[str]):
         out_img = img
         out_mask = mask
         if lut_names:
-            vals = img.reshape(-1, 3).astype(jnp.int32)  # (P, 3)
-            hi_oh, lo_oh = jax.vmap(_nibble_one_hots, in_axes=1,
-                                    out_axes=0)(vals)  # (3, P, 16) bf16
-            if need_hist:
-                hist3 = jax.vmap(
-                    lambda a, b: jax.lax.dot_general(
-                        a, b, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32))(
-                            hi_oh, lo_oh).reshape(3, 256)
+            pallas_ok = use_pallas and _lutp.supported(h, w)
+            if pallas_ok:
+                hist3 = (_lutp.hist3_pallas(img) if need_hist
+                         else jnp.zeros((3, 256), jnp.float32))
+                hi_oh = lo_oh = None
             else:
-                hist3 = jnp.zeros((3, 256), jnp.float32)
+                vals = img.reshape(-1, 3).astype(jnp.int32)  # (P, 3)
+                hi_oh, lo_oh = jax.vmap(_nibble_one_hots, in_axes=1,
+                                        out_axes=0)(vals)  # (3, P, 16)
+                if need_hist:
+                    hist3 = jax.vmap(
+                        lambda a, b: jax.lax.dot_general(
+                            a, b, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))(
+                                hi_oh, lo_oh).reshape(3, 256)
+                else:
+                    hist3 = jnp.zeros((3, 256), jnp.float32)
 
             luts = jnp.stack([
                 _LUT_BUILDERS[n](hist3, total, mean_luma,
@@ -582,16 +597,19 @@ def make_fused_op_switcher(op_names: List[str]):
                                  dtype=jnp.float32)
             lut = jnp.einsum("k,kcb->cb", sel, luts)  # (3, 256)
 
-            # apply: out[p,c] = lut[c, img[p,c]] via nibble matmuls; every
-            # value involved is an exact small integer, so bf16 is exact
-            # and halves the (P, 16) temp traffic
-            lut16 = lut.reshape(3, 16, 16).astype(jnp.bfloat16)
-            t = jax.vmap(lambda lo, lc: jnp.dot(
-                lo, lc.T, preferred_element_type=jnp.bfloat16))(
-                    lo_oh, lut16)  # (3, P, 16)
-            lut_out = jnp.sum(t * hi_oh, axis=2,
-                              dtype=jnp.float32)  # (3, P)
-            out_img = lut_out.T.reshape(img.shape)
+            if pallas_ok:
+                out_img = _lutp.lut_apply3_pallas(img, lut)
+            else:
+                # apply: out[p,c] = lut[c, img[p,c]] via nibble matmuls;
+                # every value involved is an exact small integer, so bf16
+                # is exact and halves the (P, 16) temp traffic
+                lut16 = lut.reshape(3, 16, 16).astype(jnp.bfloat16)
+                t = jax.vmap(lambda lo, lc: jnp.dot(
+                    lo, lc.T, preferred_element_type=jnp.bfloat16))(
+                        lo_oh, lut16)  # (3, P, 16)
+                lut_out = jnp.sum(t * hi_oh, axis=2,
+                                  dtype=jnp.float32)  # (3, P)
+                out_img = lut_out.T.reshape(img.shape)
 
         candidates = [out_img]
         for name in specials:

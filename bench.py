@@ -17,9 +17,14 @@ engineering estimate of the reference stack's A100 step rate
 CPU-worker augmentation and pykeops rewards). Treat vs_baseline as
 relative-to-estimate, not a measured reference.
 
+``--scenario rvs`` measures the vessel-task load instead: same 144
+images/step but augmentation runs at the datasets' native 512² before the
+[0.5,2]-scale + 256² crop (`data/transform.py` rvs pipeline).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -29,7 +34,7 @@ sys.path.insert(0, ".")
 REFERENCE_A100_IMG_PER_SEC_ESTIMATE = 410.0
 
 
-def main():
+def main(scenario: str = "optic"):
     import jax
     import jax.numpy as jnp
 
@@ -41,14 +46,17 @@ def main():
     from aadg_tpu.data.stores import make_train_store, sample_train_batch
 
     cfg = load_config()
-    cfg.DATASET.NAME = "synthetic_optic"
+    cfg.DATASET.NAME = f"synthetic_{scenario}"
     cfg.MODEL.NAME = "deeplabv3+"
     cfg.TRAIN.BATCH_SIZE = 8
     cfg.CONTROLLER.M = 6
     cfg.TPU.CROP_SIZE = 256
 
-    # reference-shaped data: 3 domains of 256^2 images
-    ds = SyntheticDataset("optic", n_domains=3, n_per_domain=16, size=256)
+    # reference-shaped data: 3 domains at the task's native resolution
+    size = 256 if scenario == "optic" else 512
+    ds = SyntheticDataset(scenario, n_domains=3,
+                          n_per_domain=16 if scenario == "optic" else 8,
+                          size=size)
     store = make_train_store(*load_train_arrays(ds))
 
     ent = build_entities(cfg, "search", steps_per_epoch=1)
@@ -83,8 +91,9 @@ def main():
 
     imgs_per_step = cfg.TRAIN.BATCH_SIZE * 3 * M  # 144
     value = imgs_per_step / dt
+    prefix = "" if scenario == "optic" else f"{scenario}_"
     print(json.dumps({
-        "metric": "search_step_augmented_images_per_sec_per_chip",
+        "metric": f"{prefix}search_step_augmented_images_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "img/s",
         "vs_baseline": round(value / REFERENCE_A100_IMG_PER_SEC_ESTIMATE, 3),
@@ -92,4 +101,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenario", choices=("optic", "rvs"),
+                    default="optic")
+    main(ap.parse_args().scenario)
