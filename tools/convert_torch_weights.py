@@ -74,9 +74,12 @@ def convert(state_dict):
         g = groups[i]
         dst = [f"InvertedResidual_{i - 1}"]
         sub = 0
-        # expand conv (absent for the first block, t=1)
-        if any(k.startswith("conv.0.0") for k in g):
-            conv_bn({k.split(".", 1)[1]: v for k, v in g.items()
+        # expand conv is absent for the first block (t=1). In torchvision
+        # both layouts start with a ConvBNReLU at conv.0 (expand 1x1 or
+        # the depthwise), so the discriminator is the index of the final
+        # BatchNorm: conv.3 with expand, conv.2 without.
+        if "conv.3.running_mean" in g:
+            conv_bn({k[len("conv.0."):]: v for k, v in g.items()
                      if k.startswith("conv.0.")},
                     dst + [f"ConvBNReLU6_{sub}"])
             sub += 1
