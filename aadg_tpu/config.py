@@ -214,6 +214,9 @@ def default_config() -> CfgNode:
     # Image side length of the training crop (256 in the reference optic
     # pipeline, /root/reference/data/transform.py:285).
     _C.TPU.CROP_SIZE = 256
+    # Side length of the hermetic synthetic datasets (tests use 64;
+    # flagship-scale smoke runs set 256/512).
+    _C.TPU.SYNTHETIC_SIZE = 64
     # Checkpoint every N epochs (reference saved every epoch post-warmup).
     _C.TPU.CHECKPOINT_FREQ = 1
     # Resume from latest checkpoint in OUTPUT_DIR when present.

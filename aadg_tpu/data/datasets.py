@@ -219,9 +219,10 @@ def build_dataset(cfg, phase: str):
     if name.startswith("synthetic"):
         task = "optic" if "optic" in name else "rvs"
         n_dom = 3 if phase == "train" else 1
+        size = int(getattr(cfg.TPU, "SYNTHETIC_SIZE", 64))
         return SyntheticDataset(task=task, n_domains=n_dom,
                                 n_per_domain=12 if phase == "train" else 4,
-                                size=64, seed=0 if phase == "train" else 1)
+                                size=size, seed=0 if phase == "train" else 1)
     raise NotImplementedError(name)
 
 

@@ -110,3 +110,59 @@ def test_encoder_matches_torch_reference():
     np.testing.assert_allclose(
         np.asarray(high), np.transpose(t_high.numpy(), (0, 2, 3, 1)),
         rtol=2e-4, atol=2e-4)
+
+
+def test_controller_evaluate_matches_torch_lstm():
+    """The controller's LSTM-cell math, tanh-squash softmax and
+    teacher-forced scoring agree with a torch LSTMCell implementation of
+    the reference controller (`models/controller.py:9-145`)."""
+    from aadg_tpu.models import controller as ctrl
+
+    spec = ctrl.ControllerSpec(num_ops=10)
+    params = ctrl.init_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(2)
+    b = 3
+    actions = np.zeros((b, spec.Q * spec.L * 2), np.int64)
+    for s in range(spec.Q * spec.L * 2):
+        n = spec.num_ops if s % 2 == 0 else spec.num_mags
+        actions[:, s] = rng.integers(0, n, b)
+
+    jax_lp = np.asarray(ctrl.evaluate(params, spec,
+                                      jnp.asarray(actions, jnp.int32)))
+
+    cell = nn.LSTMCell(spec.embedding_dim, spec.hidden_dim)
+    with torch.no_grad():
+        cell.weight_ih.copy_(torch.from_numpy(
+            np.asarray(params["lstm"]["w_ih"])))
+        cell.weight_hh.copy_(torch.from_numpy(
+            np.asarray(params["lstm"]["w_hh"])))
+        cell.bias_ih.copy_(torch.from_numpy(
+            np.asarray(params["lstm"]["b_ih"])))
+        cell.bias_hh.copy_(torch.from_numpy(
+            np.asarray(params["lstm"]["b_hh"])))
+        emb = torch.from_numpy(np.asarray(params["embedding"]))
+        heads = {k: (torch.from_numpy(np.asarray(params[k]["w"])),
+                     torch.from_numpy(np.asarray(params[k]["b"])))
+                 for k in ("outop", "outmag")}
+
+        lp_sum = torch.zeros(b, dtype=torch.float64)
+        step = 0
+        for _ in range(spec.Q):
+            inp = torch.zeros(b, spec.embedding_dim)
+            hx = torch.zeros(b, spec.hidden_dim)
+            cx = torch.zeros(b, spec.hidden_dim)
+            for _ in range(spec.L):
+                for head, offset in (("outop", 0),
+                                     ("outmag", spec.num_ops)):
+                    hx, cx = cell(inp, (hx, cx))
+                    w, bias = heads[head]
+                    logits = hx @ w.T + bias
+                    z = spec.C * torch.tanh(logits) / spec.T
+                    logp = torch.log_softmax(z, dim=-1)
+                    act = torch.from_numpy(actions[:, step])
+                    lp_sum += logp.gather(1, act[:, None])[:, 0].double()
+                    inp = emb[act + offset]
+                    step += 1
+
+    np.testing.assert_allclose(jax_lp, lp_sum.numpy(), rtol=1e-5,
+                               atol=1e-5)
