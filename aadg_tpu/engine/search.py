@@ -264,9 +264,11 @@ def run_search(cfg, cfg_path: str):
                 utils.save_checkpoint(
                     {"sd": sd, "cs": cs, "epoch": epoch + 1,
                      "best_dsc": best_dsc},
-                    is_best, out_dir, f"checkpoint_{epoch}.msgpack")
+                    is_best, out_dir, f"checkpoint_{epoch}.msgpack",
+                    background=True)
 
     # final artifacts (`search_dg.py:388-407`)
+    utils.wait_pending_checkpoints()
     utils.save_checkpoint({"params": sd.seg_params,
                            "batch_stats": sd.seg_stats},
                           False, out_dir, "final_model_state.msgpack",

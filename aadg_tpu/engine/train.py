@@ -143,8 +143,10 @@ def run_train(cfg, cfg_path: str):
         utils.save_checkpoint({"sd": sd, "epoch": epoch + 1,
                                "best_dsc": best_dsc},
                               is_best, out_dir,
-                              f"checkpoint_{epoch}.msgpack")
+                              f"checkpoint_{epoch}.msgpack",
+                              background=True)
 
+    utils.wait_pending_checkpoints()
     utils.save_checkpoint({"params": sd.seg_params,
                            "batch_stats": sd.seg_stats},
                           False, out_dir, "final_state.msgpack",

@@ -13,39 +13,115 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import numpy as np
 from flax import serialization
 
 
+def fetch_tree(tree):
+    """Device->host fetch of a pytree with O(#dtypes) transfers.
+
+    On remote-attached TPU backends (axon tunnel) ``jax.device_get`` pays
+    a round trip PER ARRAY: a DeepLabV3+ train state (~500 leaves, 58 MB)
+    measured 267 s to fetch leaf-by-leaf but ~1 s as one packed transfer.
+    Same-dtype leaves are concatenated into one device buffer by a jitted
+    (shape-cached) pack, fetched once, and split back on the host.
+    Non-array leaves (python scalars, numpy arrays) pass through.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arr_idx = [i for i, l in enumerate(leaves)
+               if isinstance(l, jax.Array) and l.size > 0]
+    if not arr_idx:
+        return tree
+    groups: Dict[Any, list] = {}
+    for i in arr_idx:
+        groups.setdefault(leaves[i].dtype, []).append(i)
+    out = list(leaves)
+    for dtype, idxs in groups.items():
+        packed = _pack_leaves([leaves[i] for i in idxs])
+        flat = np.asarray(packed)
+        off = 0
+        for i in idxs:
+            n = leaves[i].size
+            out[i] = flat[off:off + n].reshape(leaves[i].shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+_PACK_JIT = None
+
+
+def _pack_leaves(ls):
+    global _PACK_JIT
+    if _PACK_JIT is None:
+        import jax
+        import jax.numpy as jnp
+        _PACK_JIT = jax.jit(
+            lambda ls: jnp.concatenate([l.ravel() for l in ls]))
+    return _PACK_JIT(ls)
+
+
+_PENDING_SAVE: Dict[str, threading.Thread] = {}
+
+
+def wait_pending_checkpoints() -> None:
+    """Join any in-flight background checkpoint writes (call before the
+    final saves / process exit)."""
+    for t in list(_PENDING_SAVE.values()):
+        t.join()
+    _PENDING_SAVE.clear()
+
+
 def save_checkpoint(state: Dict[str, Any], is_best: bool, output_dir: str,
                     filename: str = "checkpoint.msgpack",
-                    update_latest: bool = True) -> str:
+                    update_latest: bool = True,
+                    background: bool = False) -> str:
     """Serialize a pytree-of-arrays state dict.
 
     ``state`` may contain jax arrays, numpy arrays, python scalars and nested
     dicts/lists. Writes ``<output_dir>/<filename>``, re-points ``latest``
     (a real file copy of the name, not a dangling symlink), and on
     ``is_best`` also writes ``model_best.msgpack``.
+
+    ``background=True`` does the packed device fetch synchronously (cheap,
+    and safe against later in-place mutation since jax arrays are
+    immutable but the *tree* may be rebound) and the serialize+write in a
+    daemon thread, one in flight per output_dir.
     """
     os.makedirs(output_dir, exist_ok=True)
     path = os.path.join(output_dir, filename)
-    data = serialization.to_bytes(state)
-    with open(path, "wb") as f:
-        f.write(data)
+    host_state = fetch_tree(state)
 
-    if update_latest:
-        latest = os.path.join(output_dir, "latest.msgpack")
-        tmp = latest + ".tmp"
-        if os.path.islink(latest) or os.path.exists(latest):
-            os.remove(latest)
-        os.symlink(os.path.basename(path), tmp)
-        os.rename(tmp, latest)
-
-    if is_best:
-        with open(os.path.join(output_dir, "model_best.msgpack"), "wb") as f:
+    def _write():
+        data = serialization.to_bytes(host_state)
+        with open(path, "wb") as f:
             f.write(data)
+        if update_latest:
+            latest = os.path.join(output_dir, "latest.msgpack")
+            tmp = latest + ".tmp"
+            if os.path.islink(latest) or os.path.exists(latest):
+                os.remove(latest)
+            os.symlink(os.path.basename(path), tmp)
+            os.rename(tmp, latest)
+        if is_best:
+            with open(os.path.join(output_dir, "model_best.msgpack"),
+                      "wb") as f:
+                f.write(data)
+
+    if background:
+        prev = _PENDING_SAVE.get(output_dir)
+        if prev is not None:
+            prev.join()
+        t = threading.Thread(target=_write, daemon=True)
+        t.start()
+        _PENDING_SAVE[output_dir] = t
+    else:
+        _write()
     return path
 
 

@@ -53,3 +53,46 @@ def test_save_json(tmp_path):
     with open(tmp_path / "final_result.json") as f:
         data = json.load(f)
     assert data["dsc"] == 0.5
+
+
+def test_fetch_tree_packed_roundtrip():
+    """fetch_tree (packed O(#dtypes)-transfer device fetch) preserves
+    values, shapes, dtypes and non-array leaves."""
+    import jax
+    import jax.numpy as jnp
+    from aadg_tpu.utils import fetch_tree
+
+    tree = {"a": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+            "b": {"c": jnp.ones((2, 2), jnp.int32) * 7,
+                  "d": jnp.full((5,), 0.5, jnp.bfloat16)},
+            "epoch": 3, "note": np.asarray([1.0, 2.0])}
+    host = fetch_tree(tree)
+    np.testing.assert_array_equal(
+        np.asarray(host["a"]),
+        np.arange(12, dtype=np.float32).reshape(3, 4))
+    np.testing.assert_array_equal(np.asarray(host["b"]["c"]),
+                                  np.full((2, 2), 7, np.int32))
+    assert host["b"]["d"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(host["b"]["d"], np.float32), np.full((5,), 0.5))
+    assert host["epoch"] == 3
+    np.testing.assert_array_equal(host["note"], [1.0, 2.0])
+
+
+def test_background_save_and_resume(tmp_path):
+    import jax.numpy as jnp
+    from aadg_tpu.utils import (save_checkpoint, load_checkpoint,
+                                latest_checkpoint,
+                                wait_pending_checkpoints)
+
+    state = {"w": jnp.arange(6, dtype=jnp.float32), "epoch": 5}
+    save_checkpoint(state, True, str(tmp_path), "checkpoint_5.msgpack",
+                    background=True)
+    wait_pending_checkpoints()
+    ck = latest_checkpoint(str(tmp_path))
+    assert ck and ck.endswith("checkpoint_5.msgpack")
+    restored = load_checkpoint(ck, {"w": jnp.zeros(6), "epoch": 0})
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(6, dtype=np.float32))
+    assert int(restored["epoch"]) == 5
+    assert (tmp_path / "model_best.msgpack").exists()
