@@ -119,6 +119,22 @@ def _hist_and_apply_lut(ch: jnp.ndarray, make_lut) -> jnp.ndarray:
     return out.reshape(shape)
 
 
+def _equalize_lut(hist: jnp.ndarray, total: int) -> jnp.ndarray:
+    """PIL ImageOps.equalize per-channel LUT from a 256-bin int histogram.
+    The single source of truth for both the per-op path and the fused
+    switcher (bit-identical parity depends on it)."""
+    bins = jnp.arange(256, dtype=jnp.int32)
+    # last *nonzero* bin's count (PIL subtracts histo[-1] of the
+    # nonzero-filtered histogram, not h[255])
+    nz = hist > 0
+    idx_last = 255 - jnp.argmax(nz[::-1])
+    step = (total - jnp.sum(jnp.where(bins == idx_last, hist, 0))) // 255
+    n0 = step // 2
+    csum_excl = jnp.cumsum(hist) - hist  # count < k
+    lut = jnp.clip((n0 + csum_excl) // jnp.maximum(step, 1), 0, 255)
+    return jnp.where(step > 0, lut, bins)
+
+
 def equalize(img, mask, v, key):
     """PIL ImageOps.equalize: per-channel integer-LUT histogram
     equalization. Histogram and LUT application are one-hot matmuls (MXU);
@@ -126,21 +142,10 @@ def equalize(img, mask, v, key):
     del v, key
     h, w, _ = img.shape
     total = h * w
-    bins = jnp.arange(256, dtype=jnp.int32)
-
-    def make_lut(hist):
-        # last *nonzero* bin's count (PIL subtracts histo[-1] of the
-        # nonzero-filtered histogram, not h[255])
-        nz = hist > 0
-        idx_last = 255 - jnp.argmax(nz[::-1])
-        step = (total - jnp.sum(jnp.where(bins == idx_last, hist, 0))) // 255
-        n0 = step // 2
-        csum_excl = jnp.cumsum(hist) - hist  # count < k
-        lut = jnp.clip((n0 + csum_excl) // jnp.maximum(step, 1), 0, 255)
-        return jnp.where(step > 0, lut, bins)
-
     out = jnp.stack(
-        [_hist_and_apply_lut(img[..., c], make_lut) for c in range(3)],
+        [_hist_and_apply_lut(img[..., c],
+                             lambda hist: _equalize_lut(hist, total))
+         for c in range(3)],
         axis=-1)
     return out, mask
 
@@ -476,20 +481,9 @@ def _lut_invert(hist3, total, mean_luma, v, bins):
 
 def _lut_equalize(hist3, total, mean_luma, v, bins):
     del mean_luma, v
-    ibins = jnp.arange(256, dtype=jnp.int32)
-
-    def per_channel(hist):
-        hist = hist.astype(jnp.int32)
-        nz = hist > 0
-        idx_last = 255 - jnp.argmax(nz[::-1])
-        step = (total - jnp.sum(
-            jnp.where(ibins == idx_last, hist, 0))) // 255
-        n0 = step // 2
-        csum_excl = jnp.cumsum(hist) - hist
-        lut = jnp.clip((n0 + csum_excl) // jnp.maximum(step, 1), 0, 255)
-        return jnp.where(step > 0, lut, ibins).astype(jnp.float32)
-
-    return jax.vmap(per_channel)(hist3)
+    return jax.vmap(
+        lambda hist: _equalize_lut(hist.astype(jnp.int32),
+                                   total).astype(jnp.float32))(hist3)
 
 
 def _lut_solarize(hist3, total, mean_luma, v, bins):
@@ -500,9 +494,7 @@ def _lut_solarize(hist3, total, mean_luma, v, bins):
 
 def _lut_posterize(hist3, total, mean_luma, v, bins):
     del hist3, total, mean_luma
-    bits = jnp.floor(v).astype(jnp.int32)
-    keep = jnp.left_shift(jnp.int32(0xFF), 8 - bits) & 0xFF
-    lut = (bins.astype(jnp.int32) & keep).astype(jnp.float32)
+    lut = _posterize_bits(bins, jnp.floor(v).astype(jnp.int32))
     return jnp.broadcast_to(lut, (3, 256))
 
 

@@ -36,12 +36,11 @@ def fetch_tree(tree):
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arr_idx = [i for i, l in enumerate(leaves)
                if isinstance(l, jax.Array) and l.size > 0]
-    if not arr_idx:
-        return tree
     groups: Dict[Any, list] = {}
     for i in arr_idx:
         groups.setdefault(leaves[i].dtype, []).append(i)
-    out = list(leaves)
+    out = [np.copy(l) if isinstance(l, np.ndarray) else l
+           for l in leaves]  # snapshot host arrays too (async-write safety)
     for dtype, idxs in groups.items():
         packed = _pack_leaves([leaves[i] for i in idxs])
         flat = np.asarray(packed)
@@ -66,15 +65,36 @@ def _pack_leaves(ls):
     return _PACK_JIT(ls)
 
 
-_PENDING_SAVE: Dict[str, threading.Thread] = {}
+class _SaveThread(threading.Thread):
+    """Worker that records any write exception for re-raising at join."""
+
+    def __init__(self, target):
+        super().__init__(daemon=True)
+        self._target_fn = target
+        self.error: Optional[BaseException] = None
+
+    def run(self):
+        try:
+            self._target_fn()
+        except BaseException as e:  # re-raised at join_or_raise
+            self.error = e
+
+    def join_or_raise(self):
+        self.join()
+        if self.error is not None:
+            raise self.error
+
+
+_PENDING_SAVE: Dict[str, _SaveThread] = {}
 
 
 def wait_pending_checkpoints() -> None:
-    """Join any in-flight background checkpoint writes (call before the
-    final saves / process exit)."""
-    for t in list(_PENDING_SAVE.values()):
-        t.join()
+    """Join any in-flight background checkpoint writes and re-raise the
+    first write error (call before the final saves / process exit)."""
+    threads = list(_PENDING_SAVE.values())
     _PENDING_SAVE.clear()
+    for t in threads:
+        t.join_or_raise()
 
 
 def save_checkpoint(state: Dict[str, Any], is_best: bool, output_dir: str,
@@ -99,25 +119,29 @@ def save_checkpoint(state: Dict[str, Any], is_best: bool, output_dir: str,
 
     def _write():
         data = serialization.to_bytes(host_state)
-        with open(path, "wb") as f:
+        # tmp+rename so a crash mid-write never leaves a truncated
+        # checkpoint (and `latest` never points at one)
+        with open(path + ".tmp", "wb") as f:
             f.write(data)
+        os.replace(path + ".tmp", path)
         if update_latest:
             latest = os.path.join(output_dir, "latest.msgpack")
             tmp = latest + ".tmp"
-            if os.path.islink(latest) or os.path.exists(latest):
-                os.remove(latest)
+            if os.path.islink(tmp) or os.path.exists(tmp):
+                os.remove(tmp)
             os.symlink(os.path.basename(path), tmp)
-            os.rename(tmp, latest)
+            os.replace(tmp, latest)
         if is_best:
-            with open(os.path.join(output_dir, "model_best.msgpack"),
-                      "wb") as f:
+            best = os.path.join(output_dir, "model_best.msgpack")
+            with open(best + ".tmp", "wb") as f:
                 f.write(data)
+            os.replace(best + ".tmp", best)
 
     if background:
-        prev = _PENDING_SAVE.get(output_dir)
+        prev = _PENDING_SAVE.pop(output_dir, None)
         if prev is not None:
-            prev.join()
-        t = threading.Thread(target=_write, daemon=True)
+            prev.join_or_raise()  # surface earlier write failures
+        t = _SaveThread(_write)
         t.start()
         _PENDING_SAVE[output_dir] = t
     else:

@@ -96,3 +96,20 @@ def test_background_save_and_resume(tmp_path):
                                   np.arange(6, dtype=np.float32))
     assert int(restored["epoch"]) == 5
     assert (tmp_path / "model_best.msgpack").exists()
+
+
+def test_background_save_error_propagates(tmp_path):
+    import jax.numpy as jnp
+    import pytest
+    from aadg_tpu.utils import save_checkpoint, wait_pending_checkpoints
+
+    state = {"w": jnp.zeros(4)}
+    save_checkpoint(state, False, str(tmp_path), "ck.msgpack",
+                    background=True)
+    wait_pending_checkpoints()  # first save fine
+    # a directory squatting on the tmp file makes the write fail
+    (tmp_path / "ck2.msgpack.tmp").mkdir()
+    save_checkpoint(state, False, str(tmp_path), "ck2.msgpack",
+                    background=True)
+    with pytest.raises(OSError):
+        wait_pending_checkpoints()
