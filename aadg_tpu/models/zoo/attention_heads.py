@@ -612,6 +612,8 @@ class EncHead(nn.Module):
         out, enc_feat = self._encode(inputs, train)
         logits = ClsSeg(self.num_classes, self.dropout_ratio,
                         name="cls")(out, train)
+        if return_se and not self.use_se_loss:
+            raise ValueError("return_se=True requires use_se_loss=True")
         if self.use_se_loss:
             se = nn.Dense(self.num_classes, name="se_layer")(enc_feat)
             if return_se:

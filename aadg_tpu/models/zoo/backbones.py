@@ -26,7 +26,8 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvModule, adaptive_avg_pool, resize
+from .layers import (ConvModule, DepthwiseSeparableConvModule,
+                     adaptive_avg_pool, resize)
 
 
 def _bn(train, axis_name, name=None, dtype=None):
@@ -471,9 +472,7 @@ class FastSCNN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        from .layers import (ConvModule as CM,
-                             DepthwiseSeparableConvModule as DSCM,
-                             adaptive_avg_pool, resize)
+        CM, DSCM = ConvModule, DepthwiseSeparableConvModule
         # learning to downsample: conv s2 + 2 sep convs s2 -> 1/8
         x = CM(self.downsample_dw_channels[0], 3, strides=2,
                axis_name=self.axis_name, name="ltd_conv")(x, train)

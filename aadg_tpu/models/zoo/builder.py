@@ -6,6 +6,13 @@ from names to constructors, so ``MODEL.NAME: pspnet`` +
 ``MODEL.BACKBONE: resnet50_v1c`` in a YAML builds the same architecture
 family the reference's configs would. Every segmentor obeys the
 framework contract ``(x, train) -> (seg_logits, pooled_feature)``.
+
+Compute dtype: zoo models run f32 (unlike the flagship DeepLabV3+, which
+threads ``TPU.COMPUTE_DTYPE`` bf16 through its layers). Deliberate: the
+zoo's correctness tests are torch-f32 oracles with tight tolerances, and
+these architectures are capability surface rather than the benchmarked
+hot path. Thread a ``dtype`` through ``zoo/layers.ConvModule`` + the
+backbones if a zoo model is ever promoted to a perf path.
 """
 
 from __future__ import annotations
@@ -82,24 +89,42 @@ ZOO_ARCHS = ("fcn", "pspnet", "deeplabv3", "deeplabv3plus", "upernet",
              "psanet", "encnet", "ocrnet", "fast_scnn")
 
 
+def _hrnet_wire(head):
+    """mmseg's HRNet configs (fcn_hr18, ocrnet_hr18, ...) feed heads the
+    stride-4 ``resize_concat`` of all four branches, not the coarsest one.
+    Applied to single-input heads (int ``in_index``); multi-scale heads
+    (FPN/LRASPP/UPer) consume the branch list natively."""
+    if isinstance(getattr(head, "in_index", None), int) and \
+            hasattr(head, "input_transform"):
+        return head.clone(in_index=(0, 1, 2, 3),
+                          input_transform="resize_concat")
+    return head
+
+
 def build_segmentor(arch: str, backbone: str, num_classes: int,
                     axis_name: Optional[str] = None):
     """Returns (EncoderDecoder module, pooled-feature channels)."""
     bb, feat_ch = build_backbone(backbone, axis_name)
+    hrnet = backbone.startswith("hrnet")
     neck = None
     if arch == "sem_fpn":
         neck = FPN(out_channels=256, num_outs=4, axis_name=axis_name)
         feat_ch = 256
     if arch == "ocrnet":
         # cascade: FCN first, OCR refiner (mmseg ocrnet configs)
+        fcn = FCNHead(num_classes=num_classes, channels=512,
+                      num_convs=1, concat_input=False, axis_name=axis_name)
+        ocr = OCRHead(num_classes=num_classes, channels=512,
+                      ocr_channels=256, axis_name=axis_name)
+        if hrnet:
+            fcn, ocr = _hrnet_wire(fcn), _hrnet_wire(ocr)
         model = CascadeEncoderDecoder(
-            backbone=bb,
-            decode_head=FCNHead(num_classes=num_classes, channels=512,
-                                num_convs=1, concat_input=False,
-                                axis_name=axis_name),
-            cascade_heads=(OCRHead(num_classes=num_classes, channels=512,
-                                   ocr_channels=256, axis_name=axis_name),))
+            backbone=bb, decode_head=fcn, cascade_heads=(ocr,),
+            feat_ch=feat_ch)
         return model, feat_ch
-    model = EncoderDecoder(backbone=bb, neck=neck,
-                           decode_head=_head(arch, num_classes, axis_name))
+    head = _head(arch, num_classes, axis_name)
+    if hrnet:
+        head = _hrnet_wire(head)
+    model = EncoderDecoder(backbone=bb, neck=neck, decode_head=head,
+                           feat_ch=feat_ch)
     return model, feat_ch

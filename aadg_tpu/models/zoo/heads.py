@@ -270,7 +270,6 @@ class FPNHead(nn.Module):
     chains down to the finest stride, then summed."""
     num_classes: int
     channels: int = 128
-    feature_strides: Tuple[int, ...] = (4, 8, 16, 32)
     in_index: Tuple[int, ...] = (0, 1, 2, 3)
     dropout_ratio: float = 0.1
     axis_name: Optional[str] = None
@@ -278,16 +277,21 @@ class FPNHead(nn.Module):
     @nn.compact
     def __call__(self, inputs, train: bool = True):
         xs = [inputs[i] for i in self.in_index]
+        # mmseg reads feature_strides from the paired config; here the
+        # per-stage upsample count is derived from the ACTUAL shapes so
+        # the head is correct for dilated backbones too (e.g. the zoo
+        # ResNetV1c runs at strides (4,8,8,8), not (4,8,16,32))
+        h0, w0 = xs[0].shape[1], xs[0].shape[2]
         out = None
-        for i, stride in enumerate(self.feature_strides):
-            x = xs[i]
-            steps = max(1, int(math.log2(stride)
-                               - math.log2(self.feature_strides[0])))
+        for i, x in enumerate(xs):
+            ratio = max(1, h0 // max(1, x.shape[1]))
+            steps = max(1, int(round(math.log2(ratio))) if ratio > 1 else 1)
             for k in range(steps):
                 x = ConvModule(self.channels, 3, axis_name=self.axis_name,
                                name=f"scale_head_{i}_{k}")(x, train)
-                if stride != self.feature_strides[0]:
-                    x = resize(x, (x.shape[1] * 2, x.shape[2] * 2))
+                if ratio > 1:
+                    x = resize(x, (min(h0, x.shape[1] * 2),
+                                   min(w0, x.shape[2] * 2)))
             out = x if out is None else out + x
         return ClsSeg(self.num_classes, self.dropout_ratio,
                       name="cls")(out, train)

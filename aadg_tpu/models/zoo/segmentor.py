@@ -36,6 +36,13 @@ class EncoderDecoder(nn.Module):
     decode_head: nn.Module
     neck: Optional[nn.Module] = None
     auxiliary_heads: Sequence[nn.Module] = ()
+    # pooled-feature width (what the domain discriminator consumes); set
+    # by the builder so the engine need not guess from the backbone name
+    feat_ch: int = 0
+
+    @property
+    def feature_dim(self):
+        return self.feat_ch or None
 
     def extract_feat(self, x, train: bool = True):
         """`encoder_decoder.py:77-83`."""

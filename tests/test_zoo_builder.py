@@ -52,3 +52,31 @@ def test_zoo_archs_all_have_heads():
                     "mobilenet_v3_small" if arch == "lraspp" else "cgnet")
         model, _ = build_segmentor(arch, backbone, 2)
         assert model is not None
+
+
+@pytest.mark.slow
+def test_sem_fpn_resnet_forward():
+    """FPNHead must handle the zoo's dilated resnet strides (4,8,8,8) —
+    the per-stage upsample count is derived from actual shapes."""
+    model, feat_ch = build_segmentor("sem_fpn", "resnet50_v1c", 2)
+    assert feat_ch == 256  # FPN neck width, not the backbone's 2048
+    assert model.feature_dim == 256
+    x = jnp.zeros((1, 32, 32, 3))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits, pooled = model.apply(v, x, train=False)
+    assert logits.shape == (1, 32, 32, 2)
+    assert pooled.shape == (1, 256)
+
+
+@pytest.mark.slow
+def test_fcn_hrnet_resize_concat_wiring():
+    """With HRNet backbones single-input heads get mmseg's stride-4
+    resize_concat of all four branches (fcn_hr18 convention)."""
+    model, feat_ch = build_segmentor("fcn", "hrnet_w18", 2)
+    assert model.decode_head.input_transform == "resize_concat"
+    assert model.decode_head.in_index == (0, 1, 2, 3)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits, pooled = model.apply(v, x, train=False)
+    assert logits.shape == (1, 32, 32, 2)
+    assert pooled.shape == (1, feat_ch)
