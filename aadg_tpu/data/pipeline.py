@@ -546,7 +546,9 @@ class CustomDataset:
             if self.reduce_zero_label:  # `custom.py` semantics
                 seg[seg == 0] = 256
                 seg = seg - 1
-                seg[seg == 255] = 255
+                # original ignore-255 pixels became 254 after the shift;
+                # map them back to the ignore index
+                seg[seg == 254] = 255
             results["gt_semantic_seg"] = seg
         return results
 

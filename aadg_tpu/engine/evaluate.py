@@ -26,14 +26,18 @@ from .state import Entities, SegDisState
 
 
 _EVAL_FWD_CACHE = {}
+_EVAL_FWD_CACHE_MAX = 4  # bounded: each entry pins an Entities + program
 
 
 def make_eval_forward(ent: Entities):
     """Jitted inference forward: uint8 images -> sigmoid probabilities.
-    Cached per entity set so repeated validation never retraces."""
+    Cached (bounded FIFO) per entity set so repeated validation within a
+    run never retraces."""
     cached = _EVAL_FWD_CACHE.get(id(ent))
     if cached is not None:
         return cached
+    if len(_EVAL_FWD_CACHE) >= _EVAL_FWD_CACHE_MAX:
+        _EVAL_FWD_CACHE.pop(next(iter(_EVAL_FWD_CACHE)))
 
     @jax.jit
     def fwd(seg_params, seg_stats, imgs):

@@ -128,13 +128,10 @@ def run_search(cfg, cfg_path: str):
         srch_step = make_search_step(
             ent, M, sinkhorn_blur=cfg.TPU.SINKHORN.BLUR,
             sinkhorn_scaling=cfg.TPU.SINKHORN.SCALING, axis_name="data")
-        pretrain_epoch = make_dp_pretrain_epoch(pre_step, mesh, store,
+        pretrain_epoch = make_dp_pretrain_epoch(pre_step, mesh,
                                                 local_batch, steps)
-        _dp_search = make_dp_search_epoch(srch_step, mesh, store,
-                                          local_batch, steps)
-
-        def search_epoch(ts, store, policies, k):
-            return _dp_search(ts, store, policies, k)
+        search_epoch = make_dp_search_epoch(srch_step, mesh,
+                                            local_batch, steps)
     else:
         pretrain_epoch, search_epoch = _make_epoch_runners(
             ent, cfg.TRAIN.BATCH_SIZE, steps, M, cfg)
@@ -157,13 +154,16 @@ def run_search(cfg, cfg_path: str):
     # real resume (the reference's BEGIN_EPOCH never loads state,
     # SURVEY §5.4 — fixed here)
     if cfg.TPU.AUTO_RESUME:
-        ckpt = utils.latest_checkpoint(out_dir)
+        ckpt = utils.find_resume_checkpoint(out_dir)
         if ckpt:
-            target = {"sd": sd, "cs": cs, "epoch": 0, "best_dsc": 0.0}
+            target = {"sd": sd, "cs": cs, "epoch": 0, "best_dsc": 0.0,
+                      "best_metric": dict(best_metric)}
             restored = utils.load_checkpoint(ckpt, target)
             sd, cs = restored["sd"], restored["cs"]
             begin_epoch = int(restored["epoch"])
             best_dsc = float(restored["best_dsc"])
+            best_metric = {k: (v if k == "epoch" else float(v))
+                           for k, v in restored["best_metric"].items()}
             logger.info(f"resumed from {ckpt} at epoch {begin_epoch}")
 
     pre_samples = steps * cfg.TRAIN.BATCH_SIZE * store.n_domains
@@ -175,7 +175,7 @@ def run_search(cfg, cfg_path: str):
         t0 = time.time()
         ctrl_stats = None
         profile_ctx = None
-        if cfg.TPU.PROFILE and not profiled and epoch >= begin_epoch:
+        if cfg.TPU.PROFILE and not profiled:
             from jax import profiler as _profiler
             profile_ctx = _profiler.trace(
                 os.path.join(out_dir, "profile"))
@@ -263,7 +263,8 @@ def run_search(cfg, cfg_path: str):
                     1, int(cfg.TPU.CHECKPOINT_FREQ)) == 0:
                 utils.save_checkpoint(
                     {"sd": sd, "cs": cs, "epoch": epoch + 1,
-                     "best_dsc": best_dsc},
+                     "best_dsc": best_dsc,
+                     "best_metric": dict(best_metric)},
                     is_best, out_dir, f"checkpoint_{epoch}.msgpack",
                     background=True)
 

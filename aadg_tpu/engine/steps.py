@@ -84,10 +84,15 @@ def _maybe_pmean(tree, axis_name):
     return jax.lax.pmean(tree, axis_name)
 
 
-def make_pretrain_step(ent: Entities, axis_name: Optional[str] = None):
+def make_pretrain_step(ent: Entities, axis_name: Optional[str] = None,
+                       step_disc: bool = True):
     """Warmup step (`search_dg.py:24-99`): non-augmented domain-balanced
     batch; seg trains with BCE, discriminator (online branch) with soft CE
-    on the soft domain labels."""
+    on the soft domain labels.
+
+    ``step_disc=False`` is the plain train mode (`train_dg.py:34-56` /
+    `train_dg_2d.py:34-55`): the reference never runs or steps the
+    discriminator there — seg-only fwd/bwd."""
 
     def step(ts: SegDisState, batch, key: jax.Array):
         imgs, masks, dcs = batch  # (B, D, H, W, ...) raw [0,255]
@@ -108,6 +113,10 @@ def make_pretrain_step(ent: Entities, axis_name: Optional[str] = None):
                 ent, seg_params, ts.seg_stats, x, train=True, rng=k_drop)
             seg_soft = jax.nn.sigmoid(logits)
             seg_loss = bce_loss(seg_soft, y)
+            if not step_disc:
+                aux = (seg_loss, jnp.float32(0.0), seg_soft,
+                       new_seg_stats, ts.dis_stats)
+                return seg_loss, aux
             dis_out, new_dis_stats = _apply_disc(
                 ent, dis_params, ts.dis_stats,
                 jax.lax.stop_gradient(feat), jax.lax.stop_gradient(x),
@@ -124,17 +133,22 @@ def make_pretrain_step(ent: Entities, axis_name: Optional[str] = None):
 
         seg_upd, seg_opt = ent.model_tx.update(grads[0], ts.seg_opt,
                                                ts.seg_params)
-        dis_upd, dis_opt = ent.dis_tx.update(grads[1], ts.dis_opt,
-                                             ts.dis_params)
+        if step_disc:
+            dis_upd, dis_opt = ent.dis_tx.update(grads[1], ts.dis_opt,
+                                                 ts.dis_params)
+            dis_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, ts.dis_params, dis_upd)
+        else:
+            dis_params, dis_opt = ts.dis_params, ts.dis_opt
         new_ts = SegDisState(
             seg_params=jax.tree_util.tree_map(
                 lambda p, u: p + u, ts.seg_params, seg_upd),
             seg_stats=new_seg_stats, seg_opt=seg_opt,
-            dis_params=jax.tree_util.tree_map(
-                lambda p, u: p + u, ts.dis_params, dis_upd),
+            dis_params=dis_params,
             dis_stats=new_dis_stats, dis_opt=dis_opt)
 
-        metrics = {"seg_loss": seg_loss, "dis_loss": dis_loss,
+        metrics = {"seg_loss": seg_loss,
+                   **({"dis_loss": dis_loss} if step_disc else {}),
                    **_seg_metrics(ent, seg_soft, y)}
         return new_ts, _maybe_pmean(metrics, axis_name)
 
@@ -146,8 +160,9 @@ def make_autoaug_train_step(ent: Entities,
     """Train-mode step with the reference's ``autoaugment`` behavior
     (`train_dg_2d.py:39-44`): with probability 0.5 per step the batch is
     replaced by a policy-augmented copy. ``policies`` is a (1, Q, L, 2)
-    tensor (a single fixed/searched policy)."""
-    base = make_pretrain_step(ent, axis_name)
+    tensor (a single fixed/searched policy). Seg-only, like plain train
+    mode."""
+    base = make_pretrain_step(ent, axis_name, step_disc=False)
 
     def step(ts: SegDisState, batch, policies, key: jax.Array):
         imgs, masks, dcs = batch

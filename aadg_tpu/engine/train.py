@@ -65,7 +65,7 @@ def run_train(cfg, cfg_path: str):
             logger.info(f"autoaugment: loaded controller {ctrl_path}")
         step_fn = make_autoaug_train_step(ent)
     else:
-        step_fn = make_pretrain_step(ent)
+        step_fn = make_pretrain_step(ent, step_disc=False)
 
     # store passed as an arg, not a closure constant (remote backends
     # re-ship program constants every call)
@@ -92,13 +92,16 @@ def run_train(cfg, cfg_path: str):
         best_metric = {"epoch": 0, "dsc": 0.0, "acc": 0.0, "aucroc": 0.0,
                        "sp": 0.0, "se": 0.0}
     if cfg.TPU.AUTO_RESUME:
-        ckpt = utils.latest_checkpoint(out_dir)
+        ckpt = utils.find_resume_checkpoint(out_dir)
         if ckpt:
-            target = {"sd": sd, "epoch": 0, "best_dsc": 0.0}
+            target = {"sd": sd, "epoch": 0, "best_dsc": 0.0,
+                      "best_metric": dict(best_metric)}
             restored = utils.load_checkpoint(ckpt, target)
             sd = restored["sd"]
             begin_epoch = int(restored["epoch"])
             best_dsc = float(restored["best_dsc"])
+            best_metric = {k: (v if k == "epoch" else float(v))
+                           for k, v in restored["best_metric"].items()}
             logger.info(f"resumed from {ckpt} at epoch {begin_epoch}")
 
     samples_per_epoch = steps * cfg.TRAIN.BATCH_SIZE * store.n_domains
@@ -141,7 +144,8 @@ def run_train(cfg, cfg_path: str):
             best_dsc = max(dsc, best_dsc)
             best_metric = current
         utils.save_checkpoint({"sd": sd, "epoch": epoch + 1,
-                               "best_dsc": best_dsc},
+                               "best_dsc": best_dsc,
+                               "best_metric": dict(best_metric)},
                               is_best, out_dir,
                               f"checkpoint_{epoch}.msgpack",
                               background=True)

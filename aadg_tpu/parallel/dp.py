@@ -33,7 +33,7 @@ def _shard_map(fn, mesh, in_specs, out_specs):
                          out_specs=out_specs, check_vma=False)
 
 
-def make_dp_train_step(step_fn, mesh, store, local_batch: int,
+def make_dp_train_step(step_fn, mesh, local_batch: int,
                        axis_name: str = "data"):
     """Wrap a pretrain-style step (built with axis_name=...) into a
     shard_map program: replicated state, per-shard in-graph batch.
@@ -52,7 +52,7 @@ def make_dp_train_step(step_fn, mesh, store, local_batch: int,
     return lambda ts, store, key: sharded(ts, store, key)
 
 
-def make_dp_pretrain_epoch(step_fn, mesh, store, local_batch: int,
+def make_dp_pretrain_epoch(step_fn, mesh, local_batch: int,
                            steps: int, axis_name: str = "data"):
     """Whole warmup epoch as one sharded scan program (pretrain-step
     signature: (ts, batch, key) -> (ts, metrics))."""
@@ -75,7 +75,7 @@ def make_dp_pretrain_epoch(step_fn, mesh, store, local_batch: int,
     return lambda ts, store, key: sharded(ts, store, key)
 
 
-def make_dp_search_epoch(search_step_fn, mesh, store, local_batch: int,
+def make_dp_search_epoch(search_step_fn, mesh, local_batch: int,
                          steps: int, axis_name: str = "data"):
     """Whole search epoch as one sharded scan program.
 

@@ -171,6 +171,32 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return None
 
 
+def find_resume_checkpoint(output_dir: str) -> Optional[str]:
+    """Locate the checkpoint to auto-resume from.
+
+    Run dirs are timestamped (``<cfg>_<YYYY-mm-dd-HH-MM>``), so a
+    restarted process gets a FRESH dir and ``latest_checkpoint(out_dir)``
+    alone would never see the crashed run's state. Falls back to the most
+    recently written ``latest`` among sibling dirs of the same config."""
+    import glob
+    import re
+
+    ck = latest_checkpoint(output_dir)
+    if ck:
+        return ck
+    d = os.path.normpath(output_dir)
+    stem = re.sub(r"_\d{4}-\d{2}-\d{2}-\d{2}-\d{2}$", "",
+                  os.path.basename(d))
+    candidates = []
+    for sib in glob.glob(os.path.join(os.path.dirname(d), stem + "_*")):
+        if os.path.normpath(sib) == d:
+            continue
+        ck = latest_checkpoint(sib)
+        if ck:
+            candidates.append(ck)
+    return max(candidates, key=os.path.getmtime) if candidates else None
+
+
 def save_json(obj: Any, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:

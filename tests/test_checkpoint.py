@@ -113,3 +113,25 @@ def test_background_save_error_propagates(tmp_path):
                     background=True)
     with pytest.raises(OSError):
         wait_pending_checkpoints()
+
+
+def test_find_resume_checkpoint_across_timestamped_dirs(tmp_path):
+    """AUTO_RESUME must find the crashed run's checkpoint even though each
+    run gets a fresh <cfg>_<timestamp> dir."""
+    import jax.numpy as jnp
+    from aadg_tpu.utils import find_resume_checkpoint, save_checkpoint
+
+    old = tmp_path / "diversity_2026-08-16-10-00"
+    older = tmp_path / "diversity_2026-08-15-09-00"
+    new = tmp_path / "diversity_2026-08-17-11-30"
+    new.mkdir()
+    save_checkpoint({"w": jnp.zeros(2)}, False, str(older), "c1.msgpack")
+    save_checkpoint({"w": jnp.ones(2)}, False, str(old), "c7.msgpack")
+    ck = find_resume_checkpoint(str(new))
+    assert ck and ck.endswith("c7.msgpack") and "2026-08-16" in ck
+    # a checkpoint in the run's own dir wins
+    save_checkpoint({"w": jnp.ones(2)}, False, str(new), "c9.msgpack")
+    assert find_resume_checkpoint(str(new)).endswith("c9.msgpack")
+    # unrelated config prefixes are not picked up
+    other = tmp_path / "othercfg_2026-08-17-11-31"
+    assert find_resume_checkpoint(str(other)) is None

@@ -38,7 +38,7 @@ def test_dp_pretrain_step_runs_and_syncs(setup):
     cfg, store, ent, sd, cs = setup
     mesh = make_mesh(8)
     step = make_pretrain_step(ent, axis_name="data")
-    dp_step = make_dp_train_step(step, mesh, store, local_batch=1)
+    dp_step = make_dp_train_step(step, mesh, local_batch=1)
     with mesh:
         new_sd, metrics = dp_step(sd, store, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["seg_loss"]))
@@ -52,7 +52,7 @@ def test_dp_search_epoch_rewards(setup):
     mesh = make_mesh(8)
     M = 2
     step = make_search_step(ent, M, axis_name="data")
-    epoch = make_dp_search_epoch(step, mesh, store, local_batch=1, steps=2)
+    epoch = make_dp_search_epoch(step, mesh, local_batch=1, steps=2)
     policies, *_ = ctrl_mod.sample(cs.params, ent.ctrl_spec,
                                    jax.random.PRNGKey(2), M)
     ptens = ctrl_mod.policies_to_tensor(policies, ent.ctrl_spec)

@@ -176,3 +176,20 @@ def test_drive_dataset_suffixes(tmp_path):
                       ann_dir=str(ann_dir))
     assert len(ds) == 1 and ds.CLASSES == ("background", "vessel")
     assert ds[0]["gt_semantic_seg"].shape == (8, 8)
+
+
+def test_reduce_zero_label_ignore_semantics(tmp_path):
+    """mmseg custom.py: with reduce_zero_label, label 0 -> 255 (ignore),
+    k -> k-1, and ORIGINAL ignore-255 pixels stay 255 (not 254)."""
+    img_dir = tmp_path / "images"
+    ann_dir = tmp_path / "annotations"
+    img_dir.mkdir(); ann_dir.mkdir()
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+        img_dir / "a.png")
+    ann = np.array([[0, 1, 2, 255]] * 4, np.uint8)
+    Image.fromarray(ann).save(ann_dir / "a.png")
+    ds = CustomDataset(pipeline=[], img_dir=str(img_dir),
+                       img_suffix=".png", ann_dir=str(ann_dir),
+                       seg_map_suffix=".png", reduce_zero_label=True)
+    seg = ds[0]["gt_semantic_seg"]
+    np.testing.assert_array_equal(seg[0], [255, 0, 1, 255])
