@@ -229,6 +229,12 @@ def default_config() -> CfgNode:
     _C.TPU.AUTOAUGMENT = False
     # Write a jax profiler trace of one epoch to <run_dir>/profile/.
     _C.TPU.PROFILE = False
+    # Path to a converted pretrained-encoder msgpack (written by
+    # tools/convert_torch_weights.py); grafted into the model's params at
+    # init (utils/pretrained.py). "" = random init. Optionally
+    # "file.msgpack::sub/tree" to pin the graft point. Mirrors the
+    # reference's ImageNet encoder init (models/__init__.py:19).
+    _C.TPU.PRETRAINED = ""
 
     return _C
 

@@ -115,6 +115,57 @@ class Resize:
         return results
 
 
+class AlignedResize(Resize):
+    """`transforms.py:10-236` AlignedResize (the SegFormer eval resize):
+    identical to ``Resize`` except both output sides are then aligned UP
+    to the next multiple of ``size_divisor`` (img bilinear, seg nearest) —
+    so whole-image inference never needs padding."""
+
+    def __init__(self, img_scale=None, ratio_range=None,
+                 keep_ratio: bool = True, size_divisor: int = 32, rng=None):
+        super().__init__(img_scale=img_scale, ratio_range=ratio_range,
+                         keep_ratio=keep_ratio, rng=rng)
+        self.size_divisor = size_divisor
+
+    def _aligned(self, h: int, w: int) -> Tuple[int, int]:
+        d = self.size_divisor
+        return -(-h // d) * d, -(-w // d) * d
+
+    def __call__(self, results):
+        results = super().__call__(results)
+        h, w = results["img"].shape[:2]
+        ah, aw = self._aligned(h, w)
+        if (ah, aw) != (h, w):
+            results["img"] = _resize_img(results["img"], (ah, aw))
+            if "gt_semantic_seg" in results:
+                results["gt_semantic_seg"] = _resize_img(
+                    results["gt_semantic_seg"], (ah, aw), nearest=True)
+            results["img_shape"] = (ah, aw)
+        return results
+
+
+class MaillaryHack:
+    """`transforms.py:1028-1065`: remap Mapillary Vistas' 66 labels onto
+    the 19 Cityscapes train classes (all unmapped labels -> 255 ignore).
+    One vectorized LUT pass instead of the reference's per-value loops."""
+
+    _MAP = [[13, 24, 41], [2, 15], [17], [6], [3], [45, 47], [48], [50],
+            [30], [29], [27], [19], [20, 21, 22], [55], [61], [54], [58],
+            [57], [52]]
+
+    def __init__(self):
+        lut = np.full(256, 255, np.int64)
+        for train_id, values in enumerate(self._MAP):
+            for v in values:
+                lut[v] = train_id
+        self._lut = lut
+
+    def __call__(self, results):
+        seg = results["gt_semantic_seg"]
+        results["gt_semantic_seg"] = self._lut[np.clip(seg, 0, 255)]
+        return results
+
+
 class RandomFlip:
     """`transforms.py:465-518`: horizontal (or vertical) flip with prob."""
 
@@ -563,8 +614,15 @@ class CustomDataset:
         """`custom.py` evaluate: aAcc + per-class acc/IoU(/Dice)."""
         from ..metrics import eval_metrics
         gts = self.get_gt_seg_maps()
-        num_classes = len(self.CLASSES) if self.CLASSES else (
-            int(max(g.max() for g in gts)) + 1)
+        if self.CLASSES:
+            num_classes = len(self.CLASSES)
+        else:
+            # exclude the ignore label (pad/rotate fill, reduce_zero_label
+            # remap) when inferring class count — otherwise 255 inflates
+            # it to 256 mostly-NaN per-class entries
+            valid = [int(g[g != self.ignore_index].max()) for g in gts
+                     if (g != self.ignore_index).any()]
+            num_classes = (max(valid) + 1) if valid else 1
         vals = eval_metrics(results, gts, num_classes, self.ignore_index,
                             metric)
         names = ["aAcc", "acc"] + ([metric] if isinstance(metric, str)
@@ -641,3 +699,214 @@ class HRFDataset(CustomDataset):
         kw.setdefault("img_suffix", ".png")
         kw.setdefault("seg_map_suffix", ".png")
         super().__init__(**kw)
+
+
+class ADE20KDataset(CustomDataset):
+    """`datasets/ade.py`: 150 classes, 0 is unlabeled background so
+    ``reduce_zero_label`` is fixed True; .jpg images / .png labels."""
+    from .dataset_meta import ADE20K_CLASSES as CLASSES
+    from .dataset_meta import ADE20K_PALETTE as PALETTE
+
+    def __init__(self, **kw):
+        kw["img_suffix"] = ".jpg"
+        kw["seg_map_suffix"] = ".png"
+        kw["reduce_zero_label"] = True
+        super().__init__(**kw)
+
+
+class PascalVOCDataset(CustomDataset):
+    """`datasets/voc.py`: 21 classes incl. background; requires a split
+    txt file."""
+    from .dataset_meta import VOC_CLASSES as CLASSES
+    from .dataset_meta import VOC_PALETTE as PALETTE
+
+    def __init__(self, split, **kw):
+        kw["img_suffix"] = ".jpg"
+        kw["seg_map_suffix"] = ".png"
+        super().__init__(split=split, **kw)
+        assert os.path.exists(self.img_dir) and split is not None
+
+
+class PascalContextDataset(CustomDataset):
+    """`datasets/pascal_context.py`: 60 classes, background included so
+    ``reduce_zero_label`` fixed False; requires a split txt file."""
+    from .dataset_meta import PASCAL_CONTEXT_CLASSES as CLASSES
+    from .dataset_meta import PASCAL_CONTEXT_PALETTE as PALETTE
+
+    def __init__(self, split, **kw):
+        kw["img_suffix"] = ".jpg"
+        kw["seg_map_suffix"] = ".png"
+        kw["reduce_zero_label"] = False
+        super().__init__(split=split, **kw)
+        assert os.path.exists(self.img_dir) and split is not None
+
+
+class CityscapesDataset(CustomDataset):
+    """`datasets/cityscapes.py`: 19 train classes on the
+    ``_leftImg8bit.png`` / ``_gtFine_labelTrainIds.png`` suffix pair.
+
+    ``format_results``/``results2img`` write submission-ready paletted
+    PNGs with trainId->labelId conversion done natively (the standard
+    Cityscapes id table) — the reference needs ``cityscapesscripts`` for
+    this; the 'cityscapes' *evaluation protocol* still requires that
+    package and raises the same ImportError when absent."""
+    from .dataset_meta import CITYSCAPES_CLASSES as CLASSES
+    from .dataset_meta import CITYSCAPES_PALETTE as PALETTE
+
+    # standard Cityscapes trainId (0..18) -> labelId
+    TRAINID_TO_ID = (7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25,
+                     26, 27, 28, 31, 32, 33)
+
+    def __init__(self, **kw):
+        kw["img_suffix"] = "_leftImg8bit.png"
+        kw["seg_map_suffix"] = "_gtFine_labelTrainIds.png"
+        super().__init__(**kw)
+
+    @classmethod
+    def _convert_to_label_id(cls, result: np.ndarray) -> np.ndarray:
+        lut = np.arange(256, dtype=np.uint8)
+        for train_id, label_id in enumerate(cls.TRAINID_TO_ID):
+            lut[train_id] = label_id
+        return lut[result.astype(np.uint8)]
+
+    def results2img(self, results, imgfile_prefix: str,
+                    to_label_id: bool = True):
+        os.makedirs(imgfile_prefix, exist_ok=True)
+        palette = np.zeros((256, 3), np.uint8)
+        for train_id, label_id in enumerate(self.TRAINID_TO_ID):
+            palette[label_id] = self.PALETTE[train_id]
+        files = []
+        for idx in range(len(self)):
+            result = np.asarray(results[idx])
+            if to_label_id:
+                result = self._convert_to_label_id(result)
+            png = os.path.join(imgfile_prefix, f"{self.stems[idx]}.png")
+            out = Image.fromarray(result.astype(np.uint8)).convert("P")
+            out.putpalette(palette.reshape(-1).tolist())
+            out.save(png)
+            files.append(png)
+        return files
+
+    def format_results(self, results, imgfile_prefix: Optional[str] = None,
+                       to_label_id: bool = True):
+        import tempfile
+        tmp_dir = None
+        if imgfile_prefix is None:
+            tmp_dir = tempfile.TemporaryDirectory()
+            imgfile_prefix = tmp_dir.name
+        return self.results2img(results, imgfile_prefix, to_label_id), \
+            tmp_dir
+
+    def evaluate(self, results, metric="mIoU", imgfile_prefix=None):
+        metrics = list(metric) if isinstance(metric, (list, tuple)) \
+            else [metric]
+        out = {}
+        if "cityscapes" in metrics:
+            try:
+                import cityscapesscripts  # noqa: F401
+            except ImportError:
+                raise ImportError(
+                    'Please run "pip install cityscapesscripts" to '
+                    "install cityscapesscripts first.")
+            metrics.remove("cityscapes")
+        if metrics:
+            out.update(super().evaluate(
+                results, metrics[0] if len(metrics) == 1 else metrics))
+        return out
+
+
+class CocoStuffDataset(CustomDataset):
+    """`datasets/cocostuff.py` CocoStuff: 182 stuff+thing classes on
+    .jpg/.png pairs (numeric class names and the reference's fixed
+    color table, carried as metadata in ``dataset_meta.py``)."""
+    from .dataset_meta import COCOSTUFF_CLASSES as CLASSES
+    from .dataset_meta import COCOSTUFF_PALETTE as PALETTE
+
+    def __init__(self, **kw):
+        kw["img_suffix"] = ".jpg"
+        kw["seg_map_suffix"] = ".png"
+        super().__init__(**kw)
+
+
+class MapillaryDataset(CustomDataset):
+    """`datasets/mapillary.py`: 66 Vistas classes (.jpg/.png); usually
+    paired with the ``MaillaryHack`` pipeline remap to 19 train classes."""
+    from .dataset_meta import MAPILLARY_CLASSES as CLASSES
+    from .dataset_meta import MAPILLARY_PALETTE as PALETTE
+
+    def __init__(self, **kw):
+        kw["img_suffix"] = ".jpg"
+        kw["seg_map_suffix"] = ".png"
+        kw["reduce_zero_label"] = False
+        super().__init__(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Registry + builder (`datasets/builder.py:60-75`)
+# ---------------------------------------------------------------------------
+
+DATASETS = {
+    "CustomDataset": CustomDataset,
+    "DRIVEDataset": DRIVEDataset,
+    "STAREDataset": STAREDataset,
+    "ChaseDB1Dataset": ChaseDB1Dataset,
+    "HRFDataset": HRFDataset,
+    "ADE20KDataset": ADE20KDataset,
+    "PascalVOCDataset": PascalVOCDataset,
+    "PascalContextDataset": PascalContextDataset,
+    "CityscapesDataset": CityscapesDataset,
+    "CocoStuff": CocoStuffDataset,
+    "CocoStuffDataset": CocoStuffDataset,
+    "MapillaryDataset": MapillaryDataset,
+}
+
+TRANSFORMS = {
+    "Resize": Resize, "AlignedResize": AlignedResize,
+    "RandomFlip": RandomFlip, "Pad": Pad, "Normalize": Normalize,
+    "Rerange": Rerange, "CLAHE": CLAHE, "RandomCrop": RandomCrop,
+    "CenterCrop": CenterCrop, "RandomRotate": RandomRotate,
+    "RGB2Gray": RGB2Gray, "AdjustGamma": AdjustGamma,
+    "SegRescale": SegRescale,
+    "PhotoMetricDistortion": PhotoMetricDistortion,
+    "MaillaryHack": MaillaryHack,
+    "MultiScaleFlipAug": MultiScaleFlipAug,
+}
+
+
+def build_transform(cfg: dict):
+    """One pipeline step from an mmseg-style dict (``type`` + kwargs).
+    No-op loader/formatting steps (handled natively by CustomDataset)
+    return None and are dropped."""
+    cfg = dict(cfg)
+    t = cfg.pop("type")
+    if t in ("LoadImageFromFile", "LoadAnnotations", "DefaultFormatBundle",
+             "ImageToTensor", "Collect"):
+        return None  # decoding/formatting are CustomDataset natives here
+    if t == "MultiScaleFlipAug":
+        inner = [x for x in (build_transform(c)
+                             for c in cfg.pop("transforms")) if x]
+        return MultiScaleFlipAug(inner, **cfg)
+    return TRANSFORMS[t](**cfg)
+
+
+def build_pipeline_dataset(cfg, default_args: Optional[dict] = None):
+    """mmseg ``build_dataset`` equivalent (`datasets/builder.py:60-75`):
+    list -> ConcatDataset, RepeatDataset wrapper, else registry lookup.
+    ``pipeline`` entries may be mmseg-style dicts or callables."""
+    if isinstance(cfg, (list, tuple)):
+        return ConcatDataset([build_pipeline_dataset(c, default_args)
+                              for c in cfg])
+    cfg = dict(cfg)
+    if default_args:
+        for k, v in default_args.items():
+            cfg.setdefault(k, v)
+    if cfg["type"] == "RepeatDataset":
+        return RepeatDataset(
+            build_pipeline_dataset(cfg["dataset"], default_args),
+            cfg["times"])
+    cls = DATASETS[cfg.pop("type")]
+    pipeline = [x for x in
+                ((build_transform(p) if isinstance(p, dict) else p)
+                 for p in cfg.get("pipeline", ())) if x]
+    cfg["pipeline"] = pipeline
+    return cls(**cfg)

@@ -70,17 +70,28 @@ def make_test_store(images: np.ndarray, labels: np.ndarray,
         jnp.asarray(weights), list(names))
 
 
-def sample_train_batch(store: TrainStore, key: jax.Array, batch_size: int):
+def sample_train_batch(store: TrainStore, key: jax.Array, batch_size: int,
+                       n_shards: int = 1, shard_index=None):
     """Domain-balanced random batch: (B, D, H, W, 3) f32 images in [0,255],
-    (B, D, H, W) f32 raw masks, (B, D) int32 domain codes."""
+    (B, D, H, W) f32 raw masks, (B, D) int32 domain codes.
+
+    Under data parallelism every shard calls this with the SAME key and the
+    GLOBAL ``batch_size``: the global index draw is computed identically
+    everywhere and each shard gathers only its contiguous row window
+    (``batch_size // n_shards`` rows at ``shard_index``) — so the union of
+    shard batches is exactly the single-chip batch, in the same order."""
     d = store.n_domains
     idx = jax.random.randint(
         key, (batch_size, d), 0,
         jnp.broadcast_to(store.counts[None, :], (batch_size, d)))
+    if n_shards > 1:
+        local_b = batch_size // n_shards
+        idx = jax.lax.dynamic_slice_in_dim(idx, shard_index * local_b,
+                                           local_b)
     imgs = jax.vmap(lambda i: store.images[jnp.arange(d), i],
                     in_axes=0)(idx).astype(jnp.float32)
     masks = jax.vmap(lambda i: store.labels[jnp.arange(d), i],
                      in_axes=0)(idx).astype(jnp.float32)
     dcs = jnp.broadcast_to(jnp.arange(d, dtype=jnp.int32)[None, :],
-                           (batch_size, d))
+                           (idx.shape[0], d))
     return imgs, masks, dcs

@@ -105,15 +105,17 @@ def run_search(cfg, cfg_path: str):
                 f"pool sizes: {np.asarray(store.counts)}")
 
     # data-parallel mesh (reference: DDP batch split, models/__init__.py:37)
-    n_dp = int(cfg.TPU.DATA_PARALLEL)
-    n_devices = len(jax.devices()) if n_dp <= 0 else n_dp
+    from ..parallel.mesh import resolve_data_parallel
+    n_devices = resolve_data_parallel(int(cfg.TPU.DATA_PARALLEL),
+                                      int(cfg.TRAIN.BATCH_SIZE))
     use_dp = n_devices > 1
     axis_name = "data" if use_dp else None
 
     ent = build_entities(cfg, "search", steps_per_epoch=steps,
                          axis_name=axis_name, logger=logger)
     key = jax.random.PRNGKey(cfg.SEED)
-    sd, cs = init_state(ent, key)
+    sd, cs = init_state(ent, key, pretrained=cfg.TPU.PRETRAINED,
+                        logger=logger)
     M = int(cfg.CONTROLLER.M)
 
     if use_dp:
@@ -121,17 +123,19 @@ def run_search(cfg, cfg_path: str):
         from ..parallel.dp import (make_dp_pretrain_epoch,
                                    make_dp_search_epoch)
         mesh = make_mesh(n_devices)
-        local_batch = max(1, cfg.TRAIN.BATCH_SIZE // n_devices)
+        global_batch = cfg.TRAIN.BATCH_SIZE
         logger.info(f"data parallel over {n_devices} devices, "
-                    f"local batch {local_batch}")
-        pre_step = make_pretrain_step(ent, axis_name="data")
+                    f"local batch {global_batch // n_devices}")
+        pre_step = make_pretrain_step(ent, axis_name="data",
+                                      n_shards=n_devices)
         srch_step = make_search_step(
             ent, M, sinkhorn_blur=cfg.TPU.SINKHORN.BLUR,
-            sinkhorn_scaling=cfg.TPU.SINKHORN.SCALING, axis_name="data")
+            sinkhorn_scaling=cfg.TPU.SINKHORN.SCALING, axis_name="data",
+            n_shards=n_devices)
         pretrain_epoch = make_dp_pretrain_epoch(pre_step, mesh,
-                                                local_batch, steps)
+                                                global_batch, steps)
         search_epoch = make_dp_search_epoch(srch_step, mesh,
-                                            local_batch, steps)
+                                            global_batch, steps)
     else:
         pretrain_epoch, search_epoch = _make_epoch_runners(
             ent, cfg.TRAIN.BATCH_SIZE, steps, M, cfg)
@@ -158,13 +162,19 @@ def run_search(cfg, cfg_path: str):
         if ckpt:
             target = {"sd": sd, "cs": cs, "epoch": 0, "best_dsc": 0.0,
                       "best_metric": dict(best_metric)}
-            restored = utils.load_checkpoint(ckpt, target)
-            sd, cs = restored["sd"], restored["cs"]
-            begin_epoch = int(restored["epoch"])
-            best_dsc = float(restored["best_dsc"])
-            best_metric = {k: (v if k == "epoch" else float(v))
-                           for k, v in restored["best_metric"].items()}
-            logger.info(f"resumed from {ckpt} at epoch {begin_epoch}")
+            restored = utils.load_checkpoint_lenient(ckpt, target)
+            if int(restored["epoch"]) >= cfg.TRAIN.END_EPOCH:
+                logger.warning(
+                    f"auto-resume: {ckpt} is a COMPLETED run "
+                    f"(epoch {int(restored['epoch'])} >= END_EPOCH "
+                    f"{cfg.TRAIN.END_EPOCH}); starting fresh instead")
+            else:
+                sd, cs = restored["sd"], restored["cs"]
+                begin_epoch = int(restored["epoch"])
+                best_dsc = float(restored["best_dsc"])
+                best_metric = {k: (v if k == "epoch" else float(v))
+                               for k, v in restored["best_metric"].items()}
+                logger.info(f"resumed from {ckpt} at epoch {begin_epoch}")
 
     pre_samples = steps * cfg.TRAIN.BATCH_SIZE * store.n_domains
     srch_samples = pre_samples * M  # augmented images ("Speed" line,

@@ -163,13 +163,23 @@ def build_entities(cfg: CfgNode, mode: str = "search",
                     dataset_name=base, feature_dim=feature_dim)
 
 
-def init_state(ent: Entities, key: jax.Array):
-    """Initialize all params/optimizers. Returns (SegDisState, CtrlState)."""
+def init_state(ent: Entities, key: jax.Array, pretrained: str = "",
+               logger=None):
+    """Initialize all params/optimizers. Returns (SegDisState, CtrlState).
+
+    ``pretrained``: path to a converted encoder msgpack
+    (tools/convert_torch_weights.py) grafted into the model params — the
+    reference's ImageNet encoder init (`models/__init__.py:19`).
+    """
     k_model, k_dis, k_ctrl = jax.random.split(key, 3)
     dummy = jnp.zeros((1, ent.crop, ent.crop, 3), jnp.float32)
     variables = ent.model.init(k_model, dummy, train=False)
     seg_params = variables["params"]
     seg_stats = variables.get("batch_stats", {})
+    if pretrained:
+        from ..utils.pretrained import load_pretrained
+        seg_params, seg_stats = load_pretrained(
+            seg_params, seg_stats, pretrained, logger=logger)
 
     if ent.dis_name == "image":
         dvars = ent.disc.init(k_dis, dummy, train=False)

@@ -7,10 +7,13 @@ normalization, segmentation + discriminator forward/backward, optimizer
 updates, and the Sinkhorn diversity rewards. Policies enter as a tensor, so
 a new epoch's policies never retrace.
 
-Under a device mesh the same builders take ``axis_name``: gradients (and
-reward sums) are ``lax.pmean``/``psum``-ed over the data axis and BatchNorm
-stats are cross-replica via the models' axis_name — replacing DDP's
-allreduce + vendored SyncBN (`models/sync_batchnorm/`).
+Under a device mesh the same builders take ``axis_name`` (and the static
+``n_shards``): gradients are ``lax.pmean``-ed over the data axis, BatchNorm
+stats are cross-replica via the models' axis_name, Sinkhorn domain features
+are ``all_gather``-ed so rewards are the global-batch OT, and per-sample
+PRNG keys are shard windows of the global split — the whole DP program is
+bit-equivalent to the single-chip one on the same global batch (replacing
+DDP's allreduce + vendored SyncBN, `models/sync_batchnorm/`).
 """
 
 from __future__ import annotations
@@ -84,8 +87,24 @@ def _maybe_pmean(tree, axis_name):
     return jax.lax.pmean(tree, axis_name)
 
 
+def _per_sample_keys(key, n_local: int, n_shards: int,
+                     axis_name: Optional[str]):
+    """Per-sample PRNG keys for this shard's window of the global batch.
+
+    Every DP shard receives the SAME step key; the global per-sample split
+    is computed identically everywhere and each shard takes its contiguous
+    row window — so the multi-chip program draws bit-identical per-sample
+    randomness to the single-chip program on the same global batch
+    (shard i's local row r is global row i*n_local + r)."""
+    if axis_name is None or n_shards == 1:
+        return jax.random.split(key, n_local)
+    all_keys = jax.random.split(key, n_local * n_shards)
+    off = jax.lax.axis_index(axis_name) * n_local
+    return jax.lax.dynamic_slice_in_dim(all_keys, off, n_local)
+
+
 def make_pretrain_step(ent: Entities, axis_name: Optional[str] = None,
-                       step_disc: bool = True):
+                       step_disc: bool = True, n_shards: int = 1):
     """Warmup step (`search_dg.py:24-99`): non-augmented domain-balanced
     batch; seg trains with BCE, discriminator (online branch) with soft CE
     on the soft domain labels.
@@ -102,11 +121,11 @@ def make_pretrain_step(ent: Entities, axis_name: Optional[str] = None,
         masks = masks.reshape((n,) + masks.shape[2:])
         dcs = dcs.reshape((n,))
         k_t, k_d, k_drop = jax.random.split(key, 3)
-        x, y = jax.vmap(ent.transform)(imgs, masks,
-                                       jax.random.split(k_t, n))
+        x, y = jax.vmap(ent.transform)(
+            imgs, masks, _per_sample_keys(k_t, n, n_shards, axis_name))
         dc_soft = jax.vmap(
             lambda i, k: soft_domain_label(i, ent.n_domains, k))(
-                dcs, jax.random.split(k_d, n))
+                dcs, _per_sample_keys(k_d, n, n_shards, axis_name))
 
         def loss_fn(seg_params, dis_params):
             logits, feat, new_seg_stats = _apply_model(
@@ -156,13 +175,15 @@ def make_pretrain_step(ent: Entities, axis_name: Optional[str] = None,
 
 
 def make_autoaug_train_step(ent: Entities,
-                            axis_name: Optional[str] = None):
+                            axis_name: Optional[str] = None,
+                            n_shards: int = 1):
     """Train-mode step with the reference's ``autoaugment`` behavior
     (`train_dg_2d.py:39-44`): with probability 0.5 per step the batch is
     replaced by a policy-augmented copy. ``policies`` is a (1, Q, L, 2)
     tensor (a single fixed/searched policy). Seg-only, like plain train
     mode."""
-    base = make_pretrain_step(ent, axis_name, step_disc=False)
+    base = make_pretrain_step(ent, axis_name, step_disc=False,
+                              n_shards=n_shards)
 
     def step(ts: SegDisState, batch, policies, key: jax.Array):
         imgs, masks, dcs = batch
@@ -171,7 +192,9 @@ def make_autoaug_train_step(ent: Entities,
         k_coin, k_aug, k_rest = jax.random.split(key, 3)
         flat_i = imgs.reshape((n0,) + imgs.shape[2:])
         flat_m = masks.reshape((n0,) + masks.shape[2:])
-        aug_i, aug_m = ent.multi_policy(flat_i, flat_m, policies, k_aug)
+        aug_i, aug_m = ent.multi_policy(
+            flat_i, flat_m, policies,
+            _per_sample_keys(k_aug, n0, n_shards, axis_name))
         aug_i = aug_i[:, 0].reshape(imgs.shape)
         aug_m = aug_m[:, 0].reshape(masks.shape)
         use_aug = jax.random.uniform(k_coin) > 0.5
@@ -186,7 +209,8 @@ def make_search_step(ent: Entities, M: int,
                      sinkhorn_blur: float = 0.05,
                      sinkhorn_scaling: float = 0.5,
                      aug_labels_from_augmented: bool = False,
-                     axis_name: Optional[str] = None):
+                     axis_name: Optional[str] = None,
+                     n_shards: int = 1):
     """The search-mode hot step (`search_dg.py:102-214` / SURVEY §3.2).
 
     batch: raw (B, D, H0, W0, 3) images / (B, D, H0, W0) masks / (B, D)
@@ -214,20 +238,22 @@ def make_search_step(ent: Entities, M: int,
         dcs = dcs.reshape((n0,))
         k_aug, k_t, k_d, k_drop = jax.random.split(key, 4)
 
-        aug_i, aug_m = ent.multi_policy(imgs, masks, policies, k_aug)
+        aug_i, aug_m = ent.multi_policy(
+            imgs, masks, policies,
+            _per_sample_keys(k_aug, n0, n_shards, axis_name))
         if not aug_labels_from_augmented:
             aug_m = jnp.broadcast_to(masks[:, None], aug_m.shape)
 
         n = n0 * M
         flat_i = aug_i.reshape((n,) + aug_i.shape[2:])
         flat_m = aug_m.reshape((n,) + aug_m.shape[2:])
-        x, y = jax.vmap(ent.transform)(flat_i, flat_m,
-                                       jax.random.split(k_t, n))
+        x, y = jax.vmap(ent.transform)(
+            flat_i, flat_m, _per_sample_keys(k_t, n, n_shards, axis_name))
         # one soft domain label per (b, d) sample, shared by its M copies
         # (`data/transform.py:234`)
         dc_soft0 = jax.vmap(
             lambda i, k: soft_domain_label(i, ent.n_domains, k))(
-                dcs, jax.random.split(k_d, n0))
+                dcs, _per_sample_keys(k_d, n0, n_shards, axis_name))
         dc_soft = jnp.repeat(dc_soft0, M, axis=0)
 
         def loss_fn(seg_params, dis_params):
@@ -259,15 +285,19 @@ def make_search_step(ent: Entities, M: int,
 
         # per-policy pairwise-domain Sinkhorn rewards
         # (`search_dg.py:150-162`): features (n, F) -> (M, D, B, F)
-        feats = dom_feat.reshape(b, d, M, -1).transpose(2, 1, 0, 3)
+        feats = dom_feat.reshape(b, d, M, -1)
+        if axis_name is not None:
+            # the OT point clouds are the GLOBAL batch: gather every
+            # shard's features (tiny — D*B*M*128 f32) over the data axis
+            # so each replica runs the identical global-batch Sinkhorn,
+            # bit-equivalent to the single-chip program (shard windows
+            # concatenate in global row order)
+            feats = jax.lax.all_gather(feats, axis_name, axis=0,
+                                       tiled=True)
+        feats = feats.transpose(2, 1, 0, 3)
         rewards = jax.vmap(
             lambda f: pairwise_domain_ot(
                 f, blur=sinkhorn_blur, scaling=sinkhorn_scaling))(feats)
-        if axis_name is not None:
-            # global point clouds live across shards: sum of per-shard OT
-            # is an approximation; we instead reduce rewards by pmean to
-            # keep replicas consistent (documented in PARITY.md)
-            rewards = jax.lax.pmean(rewards, axis_name)
 
         seg_upd, seg_opt = ent.model_tx.update(grads[0], ts.seg_opt,
                                                ts.seg_params)

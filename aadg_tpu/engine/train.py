@@ -44,9 +44,19 @@ def run_train(cfg, cfg_path: str):
     steps = (int(cfg.TPU.STEPS_PER_EPOCH) or
              store.steps_per_epoch(cfg.TRAIN.BATCH_SIZE, length_mult))
 
-    ent = build_entities(cfg, "train", steps_per_epoch=steps, logger=logger)
+    # data-parallel mesh (reference: DDP wraps all modes,
+    # models/__init__.py:37-44 + train_dg.py:134-204)
+    from ..parallel.mesh import resolve_data_parallel
+    n_devices = resolve_data_parallel(int(cfg.TPU.DATA_PARALLEL),
+                                      int(cfg.TRAIN.BATCH_SIZE))
+    use_dp = n_devices > 1
+    axis_name = "data" if use_dp else None
+
+    ent = build_entities(cfg, "train", steps_per_epoch=steps,
+                         axis_name=axis_name, logger=logger)
     key = jax.random.PRNGKey(cfg.SEED)
-    sd, cs = init_state(ent, key)
+    sd, cs = init_state(ent, key, pretrained=cfg.TPU.PRETRAINED,
+                        logger=logger)
 
     # the reference's dormant autoaugment capability
     # (`train_dg_2d.py:39-44`): mix policy-augmented batches at p=0.5,
@@ -63,25 +73,45 @@ def run_train(cfg, cfg_path: str):
                                              {"params": cs.params})
             cs = cs._replace(params=restored["params"])
             logger.info(f"autoaugment: loaded controller {ctrl_path}")
-        step_fn = make_autoaug_train_step(ent)
+        step_fn = make_autoaug_train_step(ent, axis_name=axis_name,
+                                          n_shards=n_devices)
     else:
-        step_fn = make_pretrain_step(ent, step_disc=False)
+        step_fn = make_pretrain_step(ent, axis_name=axis_name,
+                                     step_disc=False, n_shards=n_devices)
 
-    # store passed as an arg, not a closure constant (remote backends
-    # re-ship program constants every call)
-    @jax.jit
-    def train_epoch(ts, store, ptens, ekey):
-        def body(carry, k):
-            kb, ks = jax.random.split(k)
-            batch = sample_train_batch(store, kb, cfg.TRAIN.BATCH_SIZE)
-            if autoaug:
-                carry, m = step_fn(carry, batch, ptens, ks)
-            else:
-                carry, m = step_fn(carry, batch, ks)
-            return carry, m
-        keys = jax.random.split(ekey, steps)
-        ts, ms = jax.lax.scan(body, ts, keys)
-        return ts, jax.tree_util.tree_map(jnp.mean, ms)
+    if use_dp:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.dp import (make_dp_autoaug_epoch,
+                                   make_dp_pretrain_epoch)
+        mesh = make_mesh(n_devices)
+        logger.info(f"data parallel over {n_devices} devices, local "
+                    f"batch {cfg.TRAIN.BATCH_SIZE // n_devices}")
+        if autoaug:
+            aa_epoch = make_dp_autoaug_epoch(
+                step_fn, mesh, cfg.TRAIN.BATCH_SIZE, steps)
+            train_epoch = lambda ts, store, ptens, ekey: \
+                aa_epoch(ts, store, ptens, ekey)
+        else:
+            pre_epoch = make_dp_pretrain_epoch(
+                step_fn, mesh, cfg.TRAIN.BATCH_SIZE, steps)
+            train_epoch = lambda ts, store, ptens, ekey: \
+                pre_epoch(ts, store, ekey)
+    else:
+        # store passed as an arg, not a closure constant (remote backends
+        # re-ship program constants every call)
+        @jax.jit
+        def train_epoch(ts, store, ptens, ekey):
+            def body(carry, k):
+                kb, ks = jax.random.split(k)
+                batch = sample_train_batch(store, kb, cfg.TRAIN.BATCH_SIZE)
+                if autoaug:
+                    carry, m = step_fn(carry, batch, ptens, ks)
+                else:
+                    carry, m = step_fn(carry, batch, ks)
+                return carry, m
+            keys = jax.random.split(ekey, steps)
+            ts, ms = jax.lax.scan(body, ts, keys)
+            return ts, jax.tree_util.tree_map(jnp.mean, ms)
 
     begin_epoch = int(cfg.TRAIN.BEGIN_EPOCH)
     best_dsc = 0.0
@@ -96,13 +126,19 @@ def run_train(cfg, cfg_path: str):
         if ckpt:
             target = {"sd": sd, "epoch": 0, "best_dsc": 0.0,
                       "best_metric": dict(best_metric)}
-            restored = utils.load_checkpoint(ckpt, target)
-            sd = restored["sd"]
-            begin_epoch = int(restored["epoch"])
-            best_dsc = float(restored["best_dsc"])
-            best_metric = {k: (v if k == "epoch" else float(v))
-                           for k, v in restored["best_metric"].items()}
-            logger.info(f"resumed from {ckpt} at epoch {begin_epoch}")
+            restored = utils.load_checkpoint_lenient(ckpt, target)
+            if int(restored["epoch"]) >= cfg.TRAIN.END_EPOCH:
+                logger.warning(
+                    f"auto-resume: {ckpt} is a COMPLETED run "
+                    f"(epoch {int(restored['epoch'])} >= END_EPOCH "
+                    f"{cfg.TRAIN.END_EPOCH}); starting fresh instead")
+            else:
+                sd = restored["sd"]
+                begin_epoch = int(restored["epoch"])
+                best_dsc = float(restored["best_dsc"])
+                best_metric = {k: (v if k == "epoch" else float(v))
+                               for k, v in restored["best_metric"].items()}
+                logger.info(f"resumed from {ckpt} at epoch {begin_epoch}")
 
     samples_per_epoch = steps * cfg.TRAIN.BATCH_SIZE * store.n_domains
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):

@@ -94,7 +94,8 @@ class MixFFN(nn.Module):
         xs = nn.Conv(hidden, (3, 3), padding=1,
                      feature_group_count=hidden, name="dwconv")(xs)
         x = xs.reshape(b, n, hidden)
-        x = nn.gelu(x)
+        # official MiT uses nn.GELU() (exact erf form), not the tanh approx
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, name="fc2")(x)
 
 

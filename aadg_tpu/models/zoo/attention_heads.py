@@ -26,6 +26,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .heads import ClsSeg
@@ -521,22 +522,75 @@ class DAHead(nn.Module):
         return fused
 
 
+def psa_mask_attention(logits: jnp.ndarray, mask_size: Tuple[int, int],
+                       mode: str) -> jnp.ndarray:
+    """mmcv ``PSAMask`` CUDA op (`psa_head.py` non-compact path) as two
+    separable one-hot einsums — no gathers, pure MXU work.
+
+    ``logits``: (b, h, w, mask_h*mask_w) per-position relative-offset maps.
+    Returns the dense (b, h*w [source s], h*w [target t]) attention with the
+    op's exact semantics: for ``collect``, attn[s, t] is target t's map
+    evaluated at offset s - t + half; for ``distribute``, source s's map at
+    offset t - s + half. Out-of-window entries are ZERO — mmcv zero-fills
+    before the dim=1 softmax (exp(0)=1 contributions), a quirk we keep for
+    bit-faithfulness.
+    """
+    b, h, w, _ = logits.shape
+    mask_h, mask_w = mask_size
+    half_h, half_w = (mask_h - 1) // 2, (mask_w - 1) // 2
+
+    def onehot(n, m, half):
+        # A[r, i, j] = 1 iff i - j + half == r  (static, built host-side)
+        r = np.arange(m)[:, None, None]
+        i = np.arange(n)[None, :, None]
+        j = np.arange(n)[None, None, :]
+        return jnp.asarray((i - j + half == r), dtype=logits.dtype)
+
+    ah = onehot(h, mask_h, half_h)   # (mask_h, h, h)
+    aw = onehot(w, mask_w, half_w)   # (mask_w, w, w)
+    z = logits.reshape(b, h, w, mask_h, mask_w)
+    if mode == "collect":
+        # attn[b,(s),(t)] = z[b, th, tw, sh-th+half_h, sw-tw+half_w]
+        u = jnp.einsum("pst,btupq->bstuq", ah, z)
+        attn = jnp.einsum("qcu,bstuq->bsctu", aw, u)
+    elif mode == "distribute":
+        # attn[b,(s),(t)] = z[b, sh, sw, th-sh+half_h, tw-sw+half_w]
+        u = jnp.einsum("pts,bscpq->bstcq", ah, z)
+        attn = jnp.einsum("quc,bstcq->bsctu", aw, u)
+    else:
+        raise ValueError(mode)
+    return attn.reshape(b, h * w, h * w)
+
+
 class PSAHead(nn.Module):
     """`psa_head.py` (PSANet): bi-directional point-wise spatial attention.
-    The PSAMask CUDA op becomes the dense global attention matmul (its
-    "compact" form): collect uses softmax over source positions,
-    distribute over target positions."""
+
+    ``compact=True`` (default) is the reference's compact/global form: the
+    PSAMask CUDA op becomes a dense attention matmul over the full feature
+    map (collect softmaxes over source positions, distribute over target
+    positions). ``compact=False`` with ``mask_size`` is the mmcv default
+    local form: the attention conv emits ``mask_h*mask_w`` relative-offset
+    channels which :func:`psa_mask_attention` scatters into the dense
+    (windowed, zero-filled) source->target matrix before the dim-1 softmax
+    — matching `psa_head.py:139-186` + the mmcv ``psa_mask`` kernels."""
     num_classes: int
     channels: int = 512
     in_index: Any = -1
     input_transform: Optional[str] = None
     dropout_ratio: float = 0.1
+    compact: bool = True
+    mask_size: Optional[Tuple[int, int]] = None
+    psa_softmax: bool = True
+    normalization_factor: float = 1.0
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, inputs, train: bool = True):
         x = transform_inputs(inputs, self.in_index, self.input_transform)
         identity = x
+        local = not self.compact
+        if local and self.mask_size is None:
+            raise ValueError("PSAHead(compact=False) requires mask_size")
         outs = []
         for dirn, axis in (("collect", -1), ("distribute", -2)):
             y = ConvModule(self.channels, 1, axis_name=self.axis_name,
@@ -544,8 +598,20 @@ class PSAHead(nn.Module):
             b, h, w, c = y.shape
             a = ConvModule(self.channels, 1, axis_name=self.axis_name,
                            name=f"attention_{dirn}_0")(y, train)
-            a = nn.Conv(h * w, (1, 1), use_bias=False,
+            n_attn = (self.mask_size[0] * self.mask_size[1] if local
+                      else h * w)
+            a = nn.Conv(n_attn, (1, 1), use_bias=False,
                         name=f"attention_{dirn}_1")(a)
+            if local:
+                attn = psa_mask_attention(a, self.mask_size, dirn)
+                if self.psa_softmax:
+                    attn = jax.nn.softmax(attn, axis=1)  # over sources s
+                # out[t] = sum_s feat[s] * attn[s, t]   (psa_head.py:143-145)
+                out = jnp.einsum("bst,bsc->btc", attn,
+                                 y.reshape(b, h * w, c))
+                out = out * (1.0 / self.normalization_factor)
+                outs.append(out.reshape(b, h, w, c))
+                continue
             a = jax.nn.softmax(a.reshape(b, h * w, h * w), axis=axis)
             outs.append(jnp.einsum(
                 "bqk,bkc->bqc", a, y.reshape(b, h * w, c)).reshape(

@@ -336,13 +336,26 @@ def _hswish(x):
     return x * nn.relu6(x + 3.0) / 6.0
 
 
+def make_divisible(v: int, divisor: int = 8) -> int:
+    """torchvision/mmcv `_make_divisible`: round to the nearest multiple
+    of ``divisor``, never dropping below 90% of ``v``."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
 class SqueezeExcite(nn.Module):
     channels: int
 
     @nn.compact
     def __call__(self, x):
         s = jnp.mean(x, axis=(1, 2))
-        s = nn.relu(nn.Dense(self.channels // 4, name="fc1")(s))
+        # squeeze width is make_divisible(C/4, 8) in both torchvision's
+        # SqueezeExcitation and mmcv's SELayer (pretrained-checkpoint
+        # compatible)
+        s = nn.relu(nn.Dense(make_divisible(self.channels // 4),
+                             name="fc1")(s))
         # mmseg/torchvision MNv3 uses hard-sigmoid gating
         s = nn.relu6(nn.Dense(self.channels, name="fc2")(s) + 3.0) / 6.0
         return x * s[:, None, None, :]

@@ -675,7 +675,11 @@ def make_multi_policy_applier(op_names: List[str], n_subpolicies: int,
 
     Returns ``apply(imgs, masks, policies, key)`` with
     imgs (N, H, W, 3), masks (N, H, W), policies (M, Q, L, 2) ->
-    (N, M, H, W, 3), (N, M, H, W)."""
+    (N, M, H, W, 3), (N, M, H, W).
+
+    ``key`` may also be a per-sample key array of shape (N, key_dims)
+    (pre-split by the caller — the DP path derives shard windows of a
+    global split so multi-chip augmentation draws match single-chip)."""
     single = make_policy_applier(op_names, n_subpolicies, L, num_mags)
 
     def apply_one_sample(img, mask, policies, key):
@@ -684,7 +688,10 @@ def make_multi_policy_applier(op_names: List[str], n_subpolicies: int,
             img, mask, policies, keys)
 
     def apply(imgs, masks, policies, key):
-        keys = jax.random.split(key, imgs.shape[0])
+        if key.ndim == 2:  # per-sample keys, already split
+            keys = key
+        else:
+            keys = jax.random.split(key, imgs.shape[0])
         return jax.vmap(apply_one_sample, in_axes=(0, 0, None, 0))(
             imgs, masks, policies, keys)
 

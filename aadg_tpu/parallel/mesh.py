@@ -20,6 +20,27 @@ def device_count() -> int:
     return len(jax.devices())
 
 
+def resolve_data_parallel(n_dp: int, batch_size: int) -> int:
+    """Resolve ``cfg.TPU.DATA_PARALLEL`` to a device count.
+
+    Bit-equivalence with the single-chip program requires equal shard
+    windows, i.e. ``batch_size % n_devices == 0``. Auto mode (``n_dp <=
+    0``, the ``--data_parallel -1`` default) picks the LARGEST visible
+    device count that divides the batch; an explicit ``n_dp`` is strict
+    and raises when it does not divide (reference analogue: DDP's
+    per-GPU ``batch_size // n_gpus`` split, `models/__init__.py:37`)."""
+    if n_dp > 0:
+        if batch_size % n_dp:
+            raise ValueError(
+                f"TRAIN.BATCH_SIZE={batch_size} must divide evenly over "
+                f"{n_dp} data-parallel devices")
+        return n_dp
+    n = min(len(jax.devices()), max(batch_size, 1))
+    while n > 1 and batch_size % n:
+        n -= 1
+    return n
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = "data") -> Mesh:
     devs = jax.devices()

@@ -164,6 +164,27 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None
     return serialization.msgpack_restore(data)
 
 
+def load_checkpoint_lenient(path: str, target: Dict[str, Any]
+                            ) -> Dict[str, Any]:
+    """Like :func:`load_checkpoint` but tolerant of top-level keys that
+    the stored bytes lack (e.g. checkpoints written before ``best_metric``
+    was added): missing keys fall back to the ``target`` defaults instead
+    of ``from_bytes`` raising ValueError."""
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        return serialization.from_bytes(target, data)
+    except (ValueError, KeyError):
+        raw = serialization.msgpack_restore(data)
+        out = {}
+        for k, tmpl in target.items():
+            if k in raw:
+                out[k] = serialization.from_state_dict(tmpl, raw[k])
+            else:
+                out[k] = tmpl
+        return out
+
+
 def latest_checkpoint(output_dir: str) -> Optional[str]:
     latest = os.path.join(output_dir, "latest.msgpack")
     if os.path.exists(latest):
@@ -181,20 +202,35 @@ def find_resume_checkpoint(output_dir: str) -> Optional[str]:
     import glob
     import re
 
+    import logging
+
     ck = latest_checkpoint(output_dir)
     if ck:
         return ck
     d = os.path.normpath(output_dir)
-    stem = re.sub(r"_\d{4}-\d{2}-\d{2}-\d{2}-\d{2}$", "",
-                  os.path.basename(d))
+    ts_re = r"_\d{4}-\d{2}-\d{2}-\d{2}-\d{2}$"
+    stem = re.sub(ts_re, "", os.path.basename(d))
     candidates = []
     for sib in glob.glob(os.path.join(os.path.dirname(d), stem + "_*")):
         if os.path.normpath(sib) == d:
             continue
+        # only dirs whose name is exactly <stem>_<timestamp>: a looser
+        # prefix glob would also match runs of *different* configs whose
+        # names extend the stem (e.g. stem 'diversity' vs a sibling
+        # 'diversity_ablation_<ts>') and silently resume foreign weights
+        if re.sub(ts_re, "", os.path.basename(os.path.normpath(sib))) \
+                != stem:
+            continue
         ck = latest_checkpoint(sib)
         if ck:
             candidates.append(ck)
-    return max(candidates, key=os.path.getmtime) if candidates else None
+    if not candidates:
+        return None
+    best = max(candidates, key=os.path.getmtime)
+    logging.getLogger().warning(
+        "auto-resume: no checkpoint in %s; resuming from sibling run %s",
+        output_dir, os.path.dirname(best))
+    return best
 
 
 def save_json(obj: Any, path: str) -> None:

@@ -135,3 +135,47 @@ def test_find_resume_checkpoint_across_timestamped_dirs(tmp_path):
     # unrelated config prefixes are not picked up
     other = tmp_path / "othercfg_2026-08-17-11-31"
     assert find_resume_checkpoint(str(other)) is None
+
+
+def test_find_resume_rejects_extended_stems(tmp_path):
+    """A sibling run dir of a DIFFERENT config whose name extends the stem
+    ('diversity' vs 'diversity_ablation_<ts>') must NOT be resumed from."""
+    import jax.numpy as jnp
+    from aadg_tpu.utils import find_resume_checkpoint, save_checkpoint
+
+    foreign = tmp_path / "diversity_ablation_2026-08-16-10-00"
+    save_checkpoint({"w": jnp.zeros(2)}, False, str(foreign), "c1.msgpack")
+    mine = tmp_path / "diversity_2026-08-17-11-30"
+    mine.mkdir()
+    assert find_resume_checkpoint(str(mine)) is None
+    # and vice versa: 'diversity_ablation' runs don't see plain 'diversity'
+    save_checkpoint({"w": jnp.ones(2)}, False,
+                    str(tmp_path / "diversity_2026-08-16-09-00"),
+                    "c2.msgpack")
+    abl_new = tmp_path / "diversity_ablation_2026-08-17-12-00"
+    abl_new.mkdir()
+    ck = find_resume_checkpoint(str(abl_new))
+    assert ck and ck.endswith("c1.msgpack")
+
+
+def test_load_checkpoint_lenient_missing_key(tmp_path):
+    """Old checkpoints lacking newly-added top-level keys (best_metric)
+    restore with the target's default instead of raising."""
+    import jax.numpy as jnp
+    from aadg_tpu.utils import save_checkpoint, load_checkpoint_lenient
+
+    old_state = {"w": jnp.arange(3, dtype=jnp.float32), "epoch": 4}
+    p = save_checkpoint(old_state, False, str(tmp_path), "old.msgpack")
+    target = {"w": jnp.zeros(3), "epoch": 0,
+              "best_metric": {"epoch": 0, "avg_dsc": 0.0}}
+    restored = load_checkpoint_lenient(p, target)
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(3, dtype=np.float32))
+    assert int(restored["epoch"]) == 4
+    assert restored["best_metric"] == {"epoch": 0, "avg_dsc": 0.0}
+    # exact-match checkpoints still restore every key
+    full = {"w": jnp.ones(3), "epoch": 9,
+            "best_metric": {"epoch": 9, "avg_dsc": 0.8}}
+    p2 = save_checkpoint(full, False, str(tmp_path), "full.msgpack")
+    restored = load_checkpoint_lenient(p2, target)
+    assert float(restored["best_metric"]["avg_dsc"]) == 0.8

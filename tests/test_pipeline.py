@@ -193,3 +193,20 @@ def test_reduce_zero_label_ignore_semantics(tmp_path):
                        seg_map_suffix=".png", reduce_zero_label=True)
     seg = ds[0]["gt_semantic_seg"]
     np.testing.assert_array_equal(seg[0], [255, 0, 1, 255])
+
+
+def test_evaluate_infers_num_classes_excluding_ignore(tmp_path):
+    """CLASSES=None num_classes inference must skip the 255 ignore label
+    (otherwise per-class arrays balloon to 256 mostly-NaN entries)."""
+    img_dir = tmp_path / "images"
+    ann_dir = tmp_path / "annotations"
+    img_dir.mkdir(); ann_dir.mkdir()
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(img_dir / "a.png")
+    ann = np.array([[0, 1, 2, 255]] * 4, np.uint8)
+    Image.fromarray(ann).save(ann_dir / "a.png")
+    ds = CustomDataset(pipeline=[], img_dir=str(img_dir),
+                       img_suffix=".png", ann_dir=str(ann_dir),
+                       seg_map_suffix=".png")
+    res = ds.evaluate(ds.get_gt_seg_maps(), metric="mIoU")
+    assert len(res["mIoU"]) == 3  # classes 0..2, NOT 256
+    np.testing.assert_allclose(np.asarray(res["mIoU"], np.float64), 1.0)

@@ -1,0 +1,591 @@
+"""Numeric parity: zoo backbones vs torch oracles with source-naming keys.
+
+Neither torchvision, mmcv nor the official SegFormer repo ship in this
+image, so each oracle reconstructs the SOURCE module layout (state_dict
+key structure + forward math) in plain torch with random weights, converts
+it via tools/convert_torch_weights.py, and compares forwards. This
+validates the converters' key mappings AND the flax backbones' semantics
+(stride/dilation/padding/BN/attention math), so a real pretrained `.pth`
+dropped on disk converts correctly:
+
+- ResNetV1c-50 / ResNeXt-50 (mmcv naming: `stem.N`, `layerS.B`,
+  reference `models/mmseg/models/backbones/{resnet,resnext}.py`)
+- ResNeSt-50 (mmcv naming incl. SplAtConv2d `conv2.{conv,bn0,fc1,bn1,fc2}`,
+  reference `resnest.py:39-143`)
+- HRNet-W18 (mmcv naming: transitions/branches/fuse_layers,
+  reference `hrnet.py:26-215`)
+- MobileNetV3-small (torchvision naming: `features.N.block.J`)
+- MiT-b0 (SegFormer-official naming: `patch_embedN`, `blockN.J`, `normN`)
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+from torch import nn
+import torch.nn.functional as F
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from aadg_tpu.models.zoo.backbones import (ResNetV1c, ResNeXt, ResNeSt,
+                                           HRNet, MobileNetV3,
+                                           make_divisible, _MNV3_SMALL)
+from aadg_tpu.models.segformer import MixTransformer
+from tools.convert_torch_weights import (convert_resnet, convert_hrnet,
+                                         convert_mobilenet_v3, convert_mit)
+
+
+def _randomize_bn(module):
+    for m in module.modules():
+        if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm1d)):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+
+
+def _nhwc(t):
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+def _forward_compare(flax_model, variables, torch_feats, x_np, atol):
+    outs = flax_model.apply(variables, jnp.asarray(x_np), train=False)
+    assert len(outs) == len(torch_feats)
+    for i, (got, want) in enumerate(zip(outs, torch_feats)):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), _nhwc(want), rtol=1e-3, atol=atol,
+            err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# ResNetV1c / ResNeXt / ResNeSt oracles (mmcv naming)
+# ---------------------------------------------------------------------------
+
+class TBottleneck(nn.Module):
+    def __init__(self, inplanes, planes, stride=1, dilation=1, groups=1,
+                 base_width=64, ds=False):
+        super().__init__()
+        width = int(planes * (base_width / 64.0)) * groups
+        self.conv1 = nn.Conv2d(inplanes, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, dilation, dilation,
+                               groups, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU()
+        self.downsample = None
+        if ds:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, planes * 4, 1, stride, bias=False),
+                nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + idn)
+
+
+class TRSoftmax(nn.Module):
+    def __init__(self, radix, groups):
+        super().__init__()
+        self.radix, self.groups = radix, groups
+
+    def forward(self, x):
+        b = x.size(0)
+        x = x.view(b, self.groups, self.radix, -1).transpose(1, 2)
+        return F.softmax(x, dim=1).reshape(b, -1)
+
+
+class TSplAt(nn.Module):
+    """reference `resnest.py:39-143` SplitAttentionConv2d, groups=1."""
+
+    def __init__(self, in_ch, channels, stride=1, dilation=1, radix=2):
+        super().__init__()
+        inter = max(in_ch * radix // 4, 32)
+        self.radix = radix
+        self.conv = nn.Conv2d(in_ch, channels * radix, 3, stride, dilation,
+                              dilation, groups=radix, bias=False)
+        self.bn0 = nn.BatchNorm2d(channels * radix)
+        self.relu = nn.ReLU()
+        self.fc1 = nn.Conv2d(channels, inter, 1)
+        self.bn1 = nn.BatchNorm2d(inter)
+        self.fc2 = nn.Conv2d(inter, channels * radix, 1)
+        self.rsoftmax = TRSoftmax(radix, 1)
+
+    def forward(self, x):
+        x = self.relu(self.bn0(self.conv(x)))
+        b = x.size(0)
+        splits = x.view(b, self.radix, -1, *x.shape[2:])
+        gap = F.adaptive_avg_pool2d(splits.sum(dim=1), 1)
+        gap = self.relu(self.bn1(self.fc1(gap)))
+        atten = self.rsoftmax(self.fc2(gap)).view(b, -1, 1, 1)
+        attens = atten.view(b, self.radix, -1, 1, 1)
+        return (attens * splits).sum(dim=1)
+
+
+class TResNeStBottleneck(nn.Module):
+    def __init__(self, inplanes, planes, stride=1, dilation=1, ds=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = TSplAt(planes, planes, 1, dilation)
+        self.avd_layer = (nn.AvgPool2d(3, stride, padding=1)
+                          if stride > 1 else None)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU()
+        self.downsample = None
+        if ds:  # avg_down: AvgPool at index 0, conv at 1, bn at 2
+            self.downsample = nn.Sequential(
+                nn.AvgPool2d(stride, stride, ceil_mode=True,
+                             count_include_pad=False),
+                nn.Conv2d(inplanes, planes * 4, 1, bias=False),
+                nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.conv2(y)
+        if self.avd_layer is not None:
+            y = self.avd_layer(y)
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + idn)
+
+
+class TResNet(nn.Module):
+    def __init__(self, blocks=(3, 4, 6, 3), groups=1, base_width=64,
+                 family="resnet"):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, 32, 3, 2, 1, bias=False), nn.BatchNorm2d(32),
+            nn.ReLU(),
+            nn.Conv2d(32, 32, 3, 1, 1, bias=False), nn.BatchNorm2d(32),
+            nn.ReLU(),
+            nn.Conv2d(32, 64, 3, 1, 1, bias=False), nn.BatchNorm2d(64),
+            nn.ReLU())
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        dilations, strides = (1, 1, 2, 4), (1, 2, 1, 1)
+        inplanes = 64
+        for s in range(4):
+            planes = 64 * 2 ** s
+            layer = []
+            for b in range(blocks[s]):
+                stride = strides[s] if b == 0 else 1
+                ds = b == 0 and (inplanes != planes * 4 or stride != 1)
+                if family == "resnest":
+                    layer.append(TResNeStBottleneck(
+                        inplanes, planes, stride, dilations[s], ds))
+                else:
+                    layer.append(TBottleneck(
+                        inplanes, planes, stride, dilations[s], groups,
+                        base_width, ds))
+                inplanes = planes * 4
+            setattr(self, f"layer{s + 1}", nn.Sequential(*layer))
+
+    def forward(self, x):
+        x = self.maxpool(self.stem(x))
+        feats = []
+        for s in range(4):
+            x = getattr(self, f"layer{s + 1}")(x)
+            feats.append(x)
+        return feats
+
+
+@pytest.mark.parametrize("family,flax_ctor", [
+    ("resnet", lambda: ResNetV1c(depth=50)),
+    ("resnext", lambda: ResNeXt(depth=50)),
+    ("resnest", lambda: ResNeSt(depth=50)),
+])
+def test_resnet_family_matches_torch_oracle(family, flax_ctor):
+    torch.manual_seed(0)
+    groups, bw = (32, 4) if family == "resnext" else (1, 64)
+    tm = TResNet(groups=groups, base_width=bw, family=family).eval()
+    _randomize_bn(tm)
+    params, stats = convert_resnet(tm.state_dict(), 50, family)
+    x_np = np.random.default_rng(1).uniform(
+        -1, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats = tm(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    _forward_compare(flax_ctor(), {"params": params, "batch_stats": stats},
+                     feats, x_np, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# HRNet oracle (mmcv naming; reference `hrnet.py:26-215`)
+# ---------------------------------------------------------------------------
+
+class TBasicBlock(nn.Module):
+    def __init__(self, planes):
+        super().__init__()
+        self.conv1 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU()
+
+    def forward(self, x):
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(x + y)
+
+
+def _t_conv_bn_relu(cin, cout, k=3, stride=1):
+    return nn.Sequential(
+        nn.Conv2d(cin, cout, k, stride, k // 2, bias=False),
+        nn.BatchNorm2d(cout), nn.ReLU())
+
+
+class THRModule(nn.Module):
+    def __init__(self, chans, num_blocks=4):
+        super().__init__()
+        n = len(chans)
+        self.branches = nn.ModuleList([
+            nn.Sequential(*[TBasicBlock(chans[i]) for _ in range(num_blocks)])
+            for i in range(n)])
+        fuse = []
+        for i in range(n):
+            row = []
+            for j in range(n):
+                if j > i:
+                    row.append(nn.Sequential(
+                        nn.Conv2d(chans[j], chans[i], 1, bias=False),
+                        nn.BatchNorm2d(chans[i]),
+                        nn.Upsample(scale_factor=2 ** (j - i),
+                                    mode="bilinear", align_corners=False)))
+                elif j == i:
+                    row.append(None)
+                else:
+                    downs = []
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        cout = chans[i] if last else chans[j]
+                        mods = [nn.Conv2d(chans[j] if k == 0 else chans[j],
+                                          cout, 3, 2, 1, bias=False),
+                                nn.BatchNorm2d(cout)]
+                        if not last:
+                            mods.append(nn.ReLU())
+                        downs.append(nn.Sequential(*mods))
+                    row.append(nn.Sequential(*downs))
+            fuse.append(nn.ModuleList(row))
+        self.fuse_layers = nn.ModuleList(fuse)
+        self.relu = nn.ReLU()
+
+    def forward(self, xs):
+        xs = [br(x) for br, x in zip(self.branches, xs)]
+        out = []
+        for i in range(len(xs)):
+            y = 0
+            for j in range(len(xs)):
+                if i == j:
+                    y = y + xs[j]
+                elif j > i:
+                    y = y + F.interpolate(
+                        self.fuse_layers[i][j](xs[j]),
+                        size=xs[i].shape[2:], mode="bilinear",
+                        align_corners=False)
+                else:
+                    y = y + self.fuse_layers[i][j](xs[j])
+            out.append(self.relu(y))
+        return out
+
+
+class THRNet(nn.Module):
+    def __init__(self, w=18, stage_modules=(1, 4, 3)):
+        super().__init__()
+        chans = (w, 2 * w, 4 * w, 8 * w)
+        self.stage_modules = stage_modules
+        self.conv1 = nn.Conv2d(3, 64, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.conv2 = nn.Conv2d(64, 64, 3, 2, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU()
+        self.layer1 = nn.Sequential(
+            TBottleneck(64, 64, ds=True),
+            *[TBottleneck(256, 64) for _ in range(3)])
+        self.transition1 = nn.ModuleList([
+            _t_conv_bn_relu(256, chans[0]),
+            nn.Sequential(_t_conv_bn_relu(256, chans[1], stride=2))])
+        for stage, n_mod in enumerate(stage_modules):
+            s = stage + 2
+            setattr(self, f"stage{s}", nn.Sequential(
+                *[THRModule(chans[:s]) for _ in range(n_mod)]))
+            if stage < len(stage_modules) - 1:
+                setattr(self, f"transition{s}", nn.ModuleList(
+                    [None] * s +
+                    [nn.Sequential(_t_conv_bn_relu(chans[s - 1], chans[s],
+                                                   stride=2))]))
+
+    def forward(self, x):
+        x = self.relu(self.bn1(self.conv1(x)))
+        x = self.relu(self.bn2(self.conv2(x)))
+        x = self.layer1(x)
+        xs = [t(x) for t in self.transition1]
+        for stage in range(len(self.stage_modules)):
+            s = stage + 2
+            xs = list(getattr(self, f"stage{s}")(xs))
+            if stage < len(self.stage_modules) - 1:
+                xs.append(getattr(self, f"transition{s}")[-1](xs[-1]))
+        return xs
+
+
+def test_hrnet_matches_torch_oracle():
+    torch.manual_seed(0)
+    tm = THRNet(18).eval()
+    _randomize_bn(tm)
+    params, stats = convert_hrnet(tm.state_dict())
+    x_np = np.random.default_rng(2).uniform(
+        -1, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats = tm(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    _forward_compare(HRNet(width=18),
+                     {"params": params, "batch_stats": stats},
+                     feats, x_np, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV3 oracle (torchvision naming)
+# ---------------------------------------------------------------------------
+
+class TSqueezeExcite(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        sq = make_divisible(ch // 4)
+        self.fc1 = nn.Conv2d(ch, sq, 1)
+        self.fc2 = nn.Conv2d(sq, ch, 1)
+
+    def forward(self, x):
+        s = F.adaptive_avg_pool2d(x, 1)
+        s = F.hardsigmoid(self.fc2(F.relu(self.fc1(s))))
+        return x * s
+
+
+class TConvBNAct(nn.Sequential):
+    def __init__(self, cin, cout, k=3, stride=1, groups=1, act=nn.ReLU):
+        super().__init__(
+            nn.Conv2d(cin, cout, k, stride, (k - 1) // 2, groups=groups,
+                      bias=False),
+            nn.BatchNorm2d(cout), act())
+
+
+class TInvertedResidualV3(nn.Module):
+    def __init__(self, cin, k, e, o, se, act, stride):
+        super().__init__()
+        a = nn.Hardswish if act == "HS" else nn.ReLU
+        layers = []
+        if e != cin:
+            layers.append(TConvBNAct(cin, e, 1, act=a))
+        layers.append(TConvBNAct(e, e, k, stride, groups=e, act=a))
+        if se:
+            layers.append(TSqueezeExcite(e))
+        layers.append(TConvBNAct(e, o, 1, act=nn.Identity))
+        self.block = nn.Sequential(*layers)
+        self.use_res = stride == 1 and cin == o
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self.use_res else y
+
+
+def test_mobilenet_v3_matches_torch_oracle():
+    torch.manual_seed(0)
+    feats_mods = [TConvBNAct(3, 16, 3, 2, act=nn.Hardswish)]
+    cin = 16
+    for (k, e, o, se, act, s) in _MNV3_SMALL:
+        feats_mods.append(TInvertedResidualV3(cin, k, e, o, se, act, s))
+        cin = o
+    tm = nn.Sequential(*feats_mods).eval()
+    _randomize_bn(tm)
+    sd = {f"features.{k}": v for k, v in tm.state_dict().items()}
+    params, stats = convert_mobilenet_v3(sd, "small")
+    x_np = np.random.default_rng(3).uniform(
+        -1, 1, (2, 64, 64, 3)).astype(np.float32)
+    taps = (1, 3, 11)  # features indices == zoo taps (0, 2, 10) + stem
+    with torch.no_grad():
+        y = torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2)))
+        feats = []
+        for i, mod in enumerate(tm):
+            y = mod(y)
+            if i in taps:
+                feats.append(y)
+    _forward_compare(MobileNetV3(arch="small"),
+                     {"params": params, "batch_stats": stats},
+                     feats, x_np, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# MiT oracle (SegFormer-official naming)
+# ---------------------------------------------------------------------------
+
+class TMitAttention(nn.Module):
+    def __init__(self, dim, heads, sr):
+        super().__init__()
+        self.heads, self.sr_ratio = heads, sr
+        self.q = nn.Linear(dim, dim)
+        self.kv = nn.Linear(dim, dim * 2)
+        self.proj = nn.Linear(dim, dim)
+        if sr > 1:
+            self.sr = nn.Conv2d(dim, dim, sr, sr)
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x, H, W):
+        B, N, C = x.shape
+        hd = C // self.heads
+        q = self.q(x).reshape(B, N, self.heads, hd).permute(0, 2, 1, 3)
+        if self.sr_ratio > 1:
+            x_ = x.permute(0, 2, 1).reshape(B, C, H, W)
+            x_ = self.sr(x_).reshape(B, C, -1).permute(0, 2, 1)
+            x_ = self.norm(x_)
+        else:
+            x_ = x
+        kv = self.kv(x_).reshape(B, -1, 2, self.heads, hd).permute(
+            2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+        attn = (q @ k.transpose(-2, -1)) * hd ** -0.5
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(x)
+
+
+class TDWConv(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.dwconv = nn.Conv2d(dim, dim, 3, 1, 1, groups=dim)
+
+    def forward(self, x, H, W):
+        B, N, C = x.shape
+        x = x.transpose(1, 2).view(B, C, H, W)
+        return self.dwconv(x).flatten(2).transpose(1, 2)
+
+
+class TMixFFN(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.dwconv = TDWConv(hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x, H, W):
+        return self.fc2(F.gelu(self.dwconv(self.fc1(x), H, W)))
+
+
+class TMitBlock(nn.Module):
+    def __init__(self, dim, heads, sr, mlp_ratio):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = TMitAttention(dim, heads, sr)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = TMixFFN(dim, dim * mlp_ratio)
+
+    def forward(self, x, H, W):
+        x = x + self.attn(self.norm1(x), H, W)
+        return x + self.mlp(self.norm2(x), H, W)
+
+
+class TPatchEmbed(nn.Module):
+    def __init__(self, cin, dim, patch, stride):
+        super().__init__()
+        self.proj = nn.Conv2d(cin, dim, patch, stride, patch // 2)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        x = self.proj(x)
+        _, _, H, W = x.shape
+        return self.norm(x.flatten(2).transpose(1, 2)), H, W
+
+
+class TMit(nn.Module):
+    def __init__(self, dims=(32, 64, 160, 256), depths=(2, 2, 2, 2),
+                 heads=(1, 2, 5, 8), srs=(8, 4, 2, 1), mlp_ratio=4):
+        super().__init__()
+        self.depths = depths
+        cin = 3
+        for i in range(4):
+            patch, stride = (7, 4) if i == 0 else (3, 2)
+            setattr(self, f"patch_embed{i + 1}",
+                    TPatchEmbed(cin, dims[i], patch, stride))
+            setattr(self, f"block{i + 1}", nn.ModuleList(
+                [TMitBlock(dims[i], heads[i], srs[i], mlp_ratio)
+                 for _ in range(depths[i])]))
+            setattr(self, f"norm{i + 1}", nn.LayerNorm(dims[i], eps=1e-6))
+            cin = dims[i]
+
+    def forward(self, x):
+        B = x.shape[0]
+        feats = []
+        for i in range(4):
+            x, H, W = getattr(self, f"patch_embed{i + 1}")(x)
+            for blk in getattr(self, f"block{i + 1}"):
+                x = blk(x, H, W)
+            x = getattr(self, f"norm{i + 1}")(x)
+            x = x.reshape(B, H, W, -1).permute(0, 3, 1, 2).contiguous()
+            feats.append(x)
+        return feats
+
+
+def test_mit_matches_torch_oracle():
+    torch.manual_seed(0)
+    tm = TMit().eval()
+    params, stats = convert_mit(tm.state_dict(), "mit_b0")
+    assert stats == {}
+    x_np = np.random.default_rng(4).uniform(
+        -1, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats = tm(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    _forward_compare(MixTransformer(variant="mit_b0"), {"params": params},
+                     feats, x_np, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# load_pretrained grafting (utils/pretrained.py + TPU.PRETRAINED)
+# ---------------------------------------------------------------------------
+
+def test_load_pretrained_grafts_and_validates(tmp_path):
+    from flax import serialization
+    from aadg_tpu.utils.pretrained import load_pretrained
+
+    torch.manual_seed(1)
+    feats_mods = [TConvBNAct(3, 16, 3, 2, act=nn.Hardswish)]
+    cin = 16
+    for (k, e, o, se, act, s) in _MNV3_SMALL:
+        feats_mods.append(TInvertedResidualV3(cin, k, e, o, se, act, s))
+        cin = o
+    tm = nn.Sequential(*feats_mods).eval()
+    sd = {f"features.{k}": v for k, v in tm.state_dict().items()}
+    p, st = convert_mobilenet_v3(sd, "small")
+    path = tmp_path / "mnv3.msgpack"
+    path.write_bytes(serialization.to_bytes(
+        {"params": p, "batch_stats": st}))
+
+    model = MobileNetV3(arch="small")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    # auto graft at the root (backbone params ARE the tree)
+    params, stats = load_pretrained(variables["params"],
+                                    variables["batch_stats"], str(path))
+    got = np.asarray(params["stem"]["kernel"])
+    want = np.transpose(tm[0][0].weight.detach().numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+    # auto graft nested one level down (EncoderDecoder-style layout)
+    nested = {"backbone": variables["params"], "head": {"w": np.zeros(3)}}
+    grafted = load_pretrained(nested, {"backbone": variables["batch_stats"]},
+                              str(path))[0]
+    np.testing.assert_allclose(
+        np.asarray(grafted["backbone"]["stem"]["kernel"]), want, atol=1e-7)
+
+    # a shape mismatch fails loudly
+    bad = dict(p)
+    bad["stem"] = {"kernel": np.zeros((3, 3, 3, 99), np.float32)}
+    bad_path = tmp_path / "bad.msgpack"
+    bad_path.write_bytes(serialization.to_bytes(
+        {"params": bad, "batch_stats": {}}))
+    with pytest.raises(ValueError):
+        load_pretrained(variables["params"], variables["batch_stats"],
+                        str(bad_path))

@@ -86,6 +86,54 @@ def test_ema_head_momentum_bases_update():
     assert np.isfinite(after).all()
 
 
+def _psamask_oracle(inp, mask_size, mode):
+    """Direct numpy transliteration of the mmcv psa_mask kernel loops
+    (zero-filled output; channel layout per mode)."""
+    n, _, h, w = inp.shape
+    mask_h, mask_w = mask_size
+    half_h, half_w = (mask_h - 1) // 2, (mask_w - 1) // 2
+    out = np.zeros((n, h * w, h, w), dtype=inp.dtype)
+    for hh in range(h):
+        for ww in range(w):
+            hstart, hend = max(0, half_h - hh), min(mask_h, h + half_h - hh)
+            wstart, wend = max(0, half_w - ww), min(mask_w, w + half_w - ww)
+            for hi in range(hstart, hend):
+                for wi in range(wstart, wend):
+                    src = inp[:, hi * mask_w + wi, hh, ww]
+                    if mode == "collect":
+                        out[:, (hi + hh - half_h) * w + (wi + ww - half_w),
+                            hh, ww] = src
+                    else:  # distribute
+                        out[:, hh * w + ww, hi + hh - half_h,
+                            wi + ww - half_w] = src
+    return out
+
+
+@pytest.mark.parametrize("mode", ["collect", "distribute"])
+def test_psa_mask_attention_matches_mmcv_oracle(mode):
+    from aadg_tpu.models.zoo.attention_heads import psa_mask_attention
+    rng = np.random.RandomState(0)
+    h, w, mask = 5, 6, (3, 5)
+    logits = rng.randn(2, mask[0] * mask[1], h, w).astype(np.float32)
+    want = _psamask_oracle(logits, mask, mode).reshape(2, h * w, h * w)
+    got = psa_mask_attention(
+        jnp.asarray(logits.transpose(0, 2, 3, 1)), mask, mode)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_psa_head_local_mask_variant():
+    feats = pyramid()
+    head = PSAHead(num_classes=3, channels=16, compact=False,
+                   mask_size=(3, 3))
+    v = head.init({"params": jax.random.PRNGKey(0)}, feats, train=False)
+    out = head.apply(v, feats, train=False)
+    assert out.shape == (2, 2, 2, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # attention conv emits mask_h*mask_w relative-offset channels
+    k = v["params"]["attention_collect_1"]["kernel"]
+    assert k.shape[-1] == 9
+
+
 class TinyBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, train=True):

@@ -1,51 +1,109 @@
-"""Convert a torchvision MobileNetV2 (or smp DeepLabV3Plus) state_dict into
-this framework's flax parameter tree.
+"""Convert torch checkpoints into this framework's flax parameter trees.
 
-The reference initializes its encoder from ImageNet
-(`/root/reference/models/__init__.py:19` `encoder_weights="imagenet"`).
-This image has no torchvision and no network egress, so pretrained weights
-are unavailable at build time; when a ``mobilenet_v2-*.pth`` state_dict is
-present on disk, this script maps it onto
-``aadg_tpu.models.mobilenetv2.MobileNetV2Encoder``.
+The reference initializes encoders from ImageNet
+(`/root/reference/models/__init__.py:19` `encoder_weights="imagenet"`; the
+vendored mmseg backbones assume open-mmlab pretrained checkpoints). This
+image has no network egress, so the weights themselves are unavailable at
+build time — this tool converts them when a `.pth` file is present on
+disk, covering every backbone family the zoo implements:
+
+  arch                 source naming              target flax module
+  ------------------   ------------------------   ----------------------------
+  mobilenet_v2         torchvision `features.N`   models.mobilenetv2.MobileNetV2Encoder
+  resnet50/101/152     mmcv ResNetV1c             models.zoo.ResNetV1c
+  resnext50/101        mmcv ResNeXt (32x4d/8d)    models.zoo.ResNeXt
+  resnest50/101        mmcv/mmseg ResNeSt         models.zoo.ResNeSt
+  hrnet18/32/48        mmcv HRNetV2-W*            models.zoo.HRNet
+  mobilenet_v3_small/  torchvision MNv3           models.zoo.MobileNetV3
+  mobilenet_v3_large
+  mit_b0..b3           SegFormer official MiT     models.segformer.MixTransformer
 
 Usage:
-    python tools/convert_torch_weights.py mobilenet_v2.pth out_params.msgpack
+    python tools/convert_torch_weights.py --arch resnet50 in.pth out.msgpack
+
+The output msgpack holds ``{"params": ..., "batch_stats": ...}`` keyed by
+the flax module names; ``aadg_tpu.utils.pretrained.load_pretrained`` grafts
+it into a freshly-initialized model (config: ``TPU.PRETRAINED``).
 
 Mapping notes (torch -> flax):
 - Conv2d.weight (O,I,kH,kW) -> Conv.kernel (kH,kW,I,O); depthwise
-  (O,1,kH,kW) -> (kH,kW,1,O).
+  (O,1,kH,kW) -> (kH,kW,1,O); grouped (O,I/g,kH,kW) -> (kH,kW,I/g,O).
+- Linear.weight (O,I) and 1x1-Conv-as-fc (O,I,1,1) -> Dense.kernel (I,O).
 - BatchNorm2d.{weight,bias,running_mean,running_var} ->
-  BatchNorm.{scale,bias} + batch_stats.{mean,var}.
-- torchvision's features[0]=ConvBNReLU, features[1..17]=InvertedResidual,
-  features[18]=ConvBNReLU(1280) align positionally with this encoder's
-  module order.
+  BatchNorm.{scale,bias} + batch_stats.{mean,var}; LayerNorm.{weight,bias}
+  -> LayerNorm.{scale,bias}.
+- ResNeSt is converted for groups=1 (the mmseg config family); SplAtConv2d
+  fc layouts for groups>1 would need a radix/group permutation.
 """
 
-import sys
+import argparse
 
 import numpy as np
 
 
 def convert_conv(w):
-    w = np.asarray(w)
-    if w.shape[1] == 1 and w.shape[0] > 1:  # depthwise
-        return np.transpose(w, (2, 3, 1, 0))
-    return np.transpose(w, (2, 3, 1, 0))
+    """torch OIHW (incl. depthwise/grouped O,I/g,kH,kW) -> flax HWIO."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
 
+
+def convert_dense(w):
+    """torch Linear (O,I) or 1x1 conv-as-fc (O,I,1,1) -> Dense (I,O)."""
+    w = np.asarray(w)
+    if w.ndim == 4:
+        w = w[:, :, 0, 0]
+    return np.transpose(w)
+
+
+def _put(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value)
+
+
+class _Mapper:
+    """Accumulates (params, batch_stats) while consuming a torch
+    state_dict; raises KeyError with the missing torch key on mismatch."""
+
+    def __init__(self, sd):
+        self.sd = sd
+        self.params = {}
+        self.stats = {}
+
+    def conv(self, dst, key, bias=False):
+        _put(self.params, dst + ["kernel"], convert_conv(self.sd[key]))
+        if bias:
+            _put(self.params, dst + ["bias"],
+                 self.sd[key[: -len("weight")] + "bias"])
+
+    def dense(self, dst, prefix):
+        _put(self.params, dst + ["kernel"],
+             convert_dense(self.sd[prefix + ".weight"]))
+        _put(self.params, dst + ["bias"], self.sd[prefix + ".bias"])
+
+    def bn(self, dst, prefix):
+        _put(self.params, dst + ["scale"], self.sd[prefix + ".weight"])
+        _put(self.params, dst + ["bias"], self.sd[prefix + ".bias"])
+        _put(self.stats, dst + ["mean"], self.sd[prefix + ".running_mean"])
+        _put(self.stats, dst + ["var"], self.sd[prefix + ".running_var"])
+
+    def ln(self, dst, prefix):
+        _put(self.params, dst + ["scale"], self.sd[prefix + ".weight"])
+        _put(self.params, dst + ["bias"], self.sd[prefix + ".bias"])
+
+    def done(self):
+        return self.params, self.stats
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV2 (torchvision) — the flagship model's encoder
+# ---------------------------------------------------------------------------
 
 def convert(state_dict):
-    """Returns (params, batch_stats) nested dicts keyed by this encoder's
-    flax module names (ConvBNReLU6_0.., InvertedResidual_0..)."""
-    import torch  # noqa: F401  (state_dict tensors)
-
+    """torchvision MobileNetV2 `features.N` -> MobileNetV2Encoder
+    (ConvBNReLU6_0, InvertedResidual_0..16, ConvBNReLU6_1)."""
     params = {}
     stats = {}
-
-    def put(tree, path, value):
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = np.asarray(value)
 
     # group torch keys by the features.N prefix
     groups = {}
@@ -55,19 +113,17 @@ def convert(state_dict):
         idx = int(k.split(".")[1])
         groups.setdefault(idx, {})[k.split(".", 2)[2]] = v
 
-    # ordering of flax submodules inside MobileNetV2Encoder:
-    # ConvBNReLU6_0 (stem), InvertedResidual_0..16, ConvBNReLU6_1 (1280)
     def conv_bn(src, dst_prefix, conv_key="0", bn_key="1"):
-        put(params, dst_prefix + ["Conv_0", "kernel"],
-            convert_conv(src[f"{conv_key}.weight"]))
-        put(params, dst_prefix + ["BatchNorm_0", "scale"],
-            src[f"{bn_key}.weight"])
-        put(params, dst_prefix + ["BatchNorm_0", "bias"],
-            src[f"{bn_key}.bias"])
-        put(stats, dst_prefix + ["BatchNorm_0", "mean"],
-            src[f"{bn_key}.running_mean"])
-        put(stats, dst_prefix + ["BatchNorm_0", "var"],
-            src[f"{bn_key}.running_var"])
+        _put(params, dst_prefix + ["Conv_0", "kernel"],
+             convert_conv(src[f"{conv_key}.weight"]))
+        _put(params, dst_prefix + ["BatchNorm_0", "scale"],
+             src[f"{bn_key}.weight"])
+        _put(params, dst_prefix + ["BatchNorm_0", "bias"],
+             src[f"{bn_key}.bias"])
+        _put(stats, dst_prefix + ["BatchNorm_0", "mean"],
+             src[f"{bn_key}.running_mean"])
+        _put(stats, dst_prefix + ["BatchNorm_0", "var"],
+             src[f"{bn_key}.running_var"])
 
     conv_bn(groups[0], ["ConvBNReLU6_0"])
     for i in range(1, 18):
@@ -90,33 +146,237 @@ def convert(state_dict):
             pw_idx = 1
         conv_bn({k[len(dw_prefix):]: v for k, v in g.items()
                  if k.startswith(dw_prefix)}, dst + [f"ConvBNReLU6_{sub}"])
-        put(params, dst + ["Conv_0", "kernel"],
-            convert_conv(g[f"conv.{pw_idx}.weight"]))
-        put(params, dst + ["BatchNorm_0", "scale"],
-            g[f"conv.{pw_idx + 1}.weight"])
-        put(params, dst + ["BatchNorm_0", "bias"],
-            g[f"conv.{pw_idx + 1}.bias"])
-        put(stats, dst + ["BatchNorm_0", "mean"],
-            g[f"conv.{pw_idx + 1}.running_mean"])
-        put(stats, dst + ["BatchNorm_0", "var"],
-            g[f"conv.{pw_idx + 1}.running_var"])
+        _put(params, dst + ["Conv_0", "kernel"],
+             convert_conv(g[f"conv.{pw_idx}.weight"]))
+        _put(params, dst + ["BatchNorm_0", "scale"],
+             g[f"conv.{pw_idx + 1}.weight"])
+        _put(params, dst + ["BatchNorm_0", "bias"],
+             g[f"conv.{pw_idx + 1}.bias"])
+        _put(stats, dst + ["BatchNorm_0", "mean"],
+             g[f"conv.{pw_idx + 1}.running_mean"])
+        _put(stats, dst + ["BatchNorm_0", "var"],
+             g[f"conv.{pw_idx + 1}.running_var"])
     conv_bn(groups[18], ["ConvBNReLU6_1"])
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# ResNetV1c / ResNeXt / ResNeSt (mmcv naming: deep stem + layerN.B blocks)
+# ---------------------------------------------------------------------------
+
+_RESNET_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+def convert_resnet(state_dict, depth=50, family="resnet"):
+    """mmcv ResNetV1c/ResNeXt/ResNeSt state_dict -> zoo ResNetV1c/ResNeSt.
+
+    `stem.{0,3,6}` convs + `stem.{1,4,7}` BNs; `layerS.B.{conv,bn}{1,2,3}`;
+    `downsample.{0,1}` (stride-conv shortcut) or `downsample.{1,2}`
+    (avg_down: AvgPool at 0). ResNeSt's `conv2` is SplAtConv2d
+    (`conv/bn0/fc1/bn1/fc2`, fcs are 1x1 convs -> Dense)."""
+    m = _Mapper(state_dict)
+    for i, ci in enumerate((0, 3, 6)):
+        m.conv([f"stem{i}"], f"stem.{ci}.weight")
+        m.bn([f"stem_bn{i}"], f"stem.{ci + 1}")
+    for s in range(4):
+        for b in range(_RESNET_BLOCKS[depth][s]):
+            p = f"layer{s + 1}.{b}"
+            dst = [f"layer{s + 1}_{b}"]
+            m.conv(dst + ["conv1"], p + ".conv1.weight")
+            m.bn(dst + ["bn1"], p + ".bn1")
+            if family == "resnest":
+                m.conv(dst + ["conv2", "conv"], p + ".conv2.conv.weight")
+                m.bn(dst + ["conv2", "bn0"], p + ".conv2.bn0")
+                m.dense(dst + ["conv2", "fc1"], p + ".conv2.fc1")
+                m.bn(dst + ["conv2", "bn1"], p + ".conv2.bn1")
+                m.dense(dst + ["conv2", "fc2"], p + ".conv2.fc2")
+            else:
+                m.conv(dst + ["conv2"], p + ".conv2.weight")
+                m.bn(dst + ["bn2"], p + ".bn2")
+            m.conv(dst + ["conv3"], p + ".conv3.weight")
+            m.bn(dst + ["bn3"], p + ".bn3")
+            if p + ".downsample.0.weight" in state_dict:
+                m.conv(dst + ["down_conv"], p + ".downsample.0.weight")
+                m.bn(dst + ["down_bn"], p + ".downsample.1")
+            elif p + ".downsample.1.weight" in state_dict:  # avg_down
+                m.conv(dst + ["down_conv"], p + ".downsample.1.weight")
+                m.bn(dst + ["down_bn"], p + ".downsample.2")
+    return m.done()
+
+
+# ---------------------------------------------------------------------------
+# HRNet (mmcv naming: stem convs, layer1, transitions, stageS.M modules)
+# ---------------------------------------------------------------------------
+
+def convert_hrnet(state_dict, stage_modules=(1, 4, 3), num_blocks=4):
+    """mmcv HRNetV2 state_dict -> zoo HRNet. Transitions to an existing
+    branch are Sequential(conv,bn,relu) -> `transitionT.I.{0,1}`; to a NEW
+    branch Sequential(Sequential(conv,bn,relu)) -> `transitionT.I.0.{0,1}`.
+    Fuse layers: j>i upsample `.{0,1}`; j<i stride-conv chain `.K.{0,1}`."""
+    m = _Mapper(state_dict)
+    for i, (c, b) in enumerate((("conv1", "bn1"), ("conv2", "bn2"))):
+        m.conv([f"stem{i}"], f"{c}.weight")
+        m.bn([f"stem_bn{i}"], b)
+    for b in range(4):
+        p, dst = f"layer1.{b}", [f"layer1_{b}"]
+        for k in (1, 2, 3):
+            m.conv(dst + [f"conv{k}"], f"{p}.conv{k}.weight")
+            m.bn(dst + [f"bn{k}"], f"{p}.bn{k}")
+        if p + ".downsample.0.weight" in state_dict:
+            m.conv(dst + ["down_conv"], p + ".downsample.0.weight")
+            m.bn(dst + ["down_bn"], p + ".downsample.1")
+    m.conv(["transition1_0", "conv"], "transition1.0.0.weight")
+    m.bn(["transition1_0", "bn"], "transition1.0.1")
+    m.conv(["transition1_1", "conv"], "transition1.1.0.0.weight")
+    m.bn(["transition1_1", "bn"], "transition1.1.0.1")
+    for stage, n_mod in enumerate(stage_modules):
+        s = n_br = stage + 2
+        for mod in range(n_mod):
+            base, dmod = f"stage{s}.{mod}", [f"stage{s}_module{mod}"]
+            for i in range(n_br):
+                for b in range(num_blocks):
+                    p = f"{base}.branches.{i}.{b}"
+                    dst = dmod + [f"branch{i}_block{b}"]
+                    for k in (1, 2):
+                        m.conv(dst + [f"conv{k}"], f"{p}.conv{k}.weight")
+                        m.bn(dst + [f"bn{k}"], f"{p}.bn{k}")
+            for i in range(n_br):
+                for j in range(n_br):
+                    f = f"{base}.fuse_layers.{i}.{j}"
+                    if j > i:
+                        m.conv(dmod + [f"fuse_{i}_{j}_conv"],
+                               f + ".0.weight")
+                        m.bn(dmod + [f"fuse_{i}_{j}_bn"], f + ".1")
+                    elif j < i:
+                        for k in range(i - j):
+                            m.conv(dmod + [f"fuse_{i}_{j}_conv{k}"],
+                                   f + f".{k}.0.weight")
+                            m.bn(dmod + [f"fuse_{i}_{j}_bn{k}"],
+                                 f + f".{k}.1")
+        if stage < len(stage_modules) - 1:
+            m.conv([f"transition{s}_{n_br}", "conv"],
+                   f"transition{s}.{n_br}.0.0.weight")
+            m.bn([f"transition{s}_{n_br}", "bn"],
+                 f"transition{s}.{n_br}.0.1")
+    return m.done()
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV3 (torchvision naming: features.N.block.J)
+# ---------------------------------------------------------------------------
+
+def convert_mobilenet_v3(state_dict, arch="large"):
+    """torchvision MobileNetV3 -> zoo MobileNetV3. Block sub-layout is
+    [expand?][dw][se?][project]; SE fc1/fc2 are 1x1 convs -> Dense. The
+    trailing `features.{16|12}` 6x conv (classifier neck) has no zoo
+    counterpart and is skipped."""
+    from aadg_tpu.models.zoo.backbones import _MNV3_LARGE, _MNV3_SMALL
+    table = _MNV3_LARGE if arch == "large" else _MNV3_SMALL
+    m = _Mapper(state_dict)
+    m.conv(["stem"], "features.0.0.weight")
+    m.bn(["stem_bn"], "features.0.1")
+    in_ch = 16
+    for i, (k, e, o, se, act, s) in enumerate(table):
+        p, dst = f"features.{i + 1}.block", [f"block{i}"]
+        j = 0
+        if e != in_ch:
+            m.conv(dst + ["expand"], f"{p}.{j}.0.weight")
+            m.bn(dst + ["expand_bn"], f"{p}.{j}.1")
+            j += 1
+        m.conv(dst + ["dw"], f"{p}.{j}.0.weight")
+        m.bn(dst + ["dw_bn"], f"{p}.{j}.1")
+        j += 1
+        if se:
+            m.dense(dst + ["se", "fc1"], f"{p}.{j}.fc1")
+            m.dense(dst + ["se", "fc2"], f"{p}.{j}.fc2")
+            j += 1
+        m.conv(dst + ["project"], f"{p}.{j}.0.weight")
+        m.bn(dst + ["project_bn"], f"{p}.{j}.1")
+        in_ch = o
+    return m.done()
+
+
+# ---------------------------------------------------------------------------
+# MiT (SegFormer official naming: patch_embedN / blockN.J / normN)
+# ---------------------------------------------------------------------------
+
+def convert_mit(state_dict, variant="mit_b0"):
+    """SegFormer-official MixVisionTransformer -> models.segformer
+    MixTransformer. All-LayerNorm, no batch stats."""
+    from aadg_tpu.models.segformer import VARIANTS
+    dims, depths, heads, srs, _ = VARIANTS[variant]
+    m = _Mapper(state_dict)
+    for i in range(4):
+        pe = f"patch_embed{i + 1}"
+        m.conv([pe, "Conv_0"], pe + ".proj.weight", bias=True)
+        m.ln([pe, "LayerNorm_0"], pe + ".norm")
+        for j in range(depths[i]):
+            p, dst = f"block{i + 1}.{j}", [f"block{i + 1}_{j}"]
+            m.ln(dst + ["norm1"], p + ".norm1")
+            m.dense(dst + ["attn", "q"], p + ".attn.q")
+            m.dense(dst + ["attn", "kv"], p + ".attn.kv")
+            m.dense(dst + ["attn", "proj"], p + ".attn.proj")
+            if srs[i] > 1:
+                m.conv(dst + ["attn", "sr"], p + ".attn.sr.weight",
+                       bias=True)
+                m.ln(dst + ["attn", "sr_norm"], p + ".attn.norm")
+            m.ln(dst + ["norm2"], p + ".norm2")
+            m.dense(dst + ["ffn", "fc1"], p + ".mlp.fc1")
+            m.conv(dst + ["ffn", "dwconv"], p + ".mlp.dwconv.dwconv.weight",
+                   bias=True)
+            m.dense(dst + ["ffn", "fc2"], p + ".mlp.fc2")
+        m.ln([f"norm{i + 1}"], f"norm{i + 1}")
+    return m.done()
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+ARCHS = {
+    "mobilenet_v2": lambda sd: convert(sd),
+    "resnet50": lambda sd: convert_resnet(sd, 50),
+    "resnet101": lambda sd: convert_resnet(sd, 101),
+    "resnet152": lambda sd: convert_resnet(sd, 152),
+    "resnext50": lambda sd: convert_resnet(sd, 50, "resnext"),
+    "resnext101": lambda sd: convert_resnet(sd, 101, "resnext"),
+    "resnest50": lambda sd: convert_resnet(sd, 50, "resnest"),
+    "resnest101": lambda sd: convert_resnet(sd, 101, "resnest"),
+    "hrnet18": lambda sd: convert_hrnet(sd),
+    "hrnet32": lambda sd: convert_hrnet(sd),
+    "hrnet48": lambda sd: convert_hrnet(sd),
+    "mobilenet_v3_large": lambda sd: convert_mobilenet_v3(sd, "large"),
+    "mobilenet_v3_small": lambda sd: convert_mobilenet_v3(sd, "small"),
+    "mit_b0": lambda sd: convert_mit(sd, "mit_b0"),
+    "mit_b1": lambda sd: convert_mit(sd, "mit_b1"),
+    "mit_b2": lambda sd: convert_mit(sd, "mit_b2"),
+    "mit_b3": lambda sd: convert_mit(sd, "mit_b3"),
+}
 
 
 def main():
     import torch
     from flax import serialization
 
-    src, dst = sys.argv[1], sys.argv[2]
-    state_dict = torch.load(src, map_location="cpu")
-    if hasattr(state_dict, "state_dict"):
-        state_dict = state_dict.state_dict()
-    params, stats = convert(state_dict)
-    with open(dst, "wb") as f:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("--arch", default="mobilenet_v2", choices=sorted(ARCHS))
+    args = ap.parse_args()
+
+    ckpt = torch.load(args.src, map_location="cpu")
+    if hasattr(ckpt, "state_dict"):
+        ckpt = ckpt.state_dict()
+    for key in ("state_dict", "model"):  # open-mmlab / official wrappers
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+    ckpt = {k[len("backbone."):] if k.startswith("backbone.") else k: v
+            for k, v in ckpt.items()}
+    params, stats = ARCHS[args.arch](ckpt)
+    with open(args.dst, "wb") as f:
         f.write(serialization.to_bytes(
             {"params": params, "batch_stats": stats}))
-    print(f"wrote {dst}")
+    print(f"wrote {args.dst} ({args.arch})")
 
 
 if __name__ == "__main__":
