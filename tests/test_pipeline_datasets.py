@@ -195,11 +195,11 @@ def test_zoo_segmentor_trains_through_pipeline_data(tmp_path):
     opt = tx.init(params)
 
     @jax.jit
-    def step(params, stats, opt, x, y):
+    def step(params, stats, opt, x, y, key):
         def loss_fn(p):
             (logits, _), new = model.apply(
                 {"params": p, "batch_stats": stats}, x, train=True,
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], rngs={"dropout": key})
             return cross_entropy(logits, y, ignore_index=255), \
                 new["batch_stats"]
         (loss, new_stats), grads = jax.value_and_grad(
@@ -210,7 +210,8 @@ def test_zoo_segmentor_trains_through_pipeline_data(tmp_path):
     losses = []
     for i in range(4):
         x, y = batch([(2 * i) % 4, (2 * i + 1) % 4])
-        params, stats, opt, loss = step(params, stats, opt, x, y)
+        params, stats, opt, loss = step(params, stats, opt, x, y,
+                                        jax.random.PRNGKey(i + 1))
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0] * 1.5  # training, not diverging
