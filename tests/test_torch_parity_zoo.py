@@ -31,7 +31,8 @@ from torch import nn
 import torch.nn.functional as F
 
 import sys, os
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
 from aadg_tpu.models.zoo.backbones import (ResNetV1c, ResNeXt, ResNeSt,
                                            HRNet, MobileNetV3,
                                            make_divisible, _MNV3_SMALL)
@@ -544,6 +545,31 @@ def test_mit_matches_torch_oracle():
 # ---------------------------------------------------------------------------
 # load_pretrained grafting (utils/pretrained.py + TPU.PRETRAINED)
 # ---------------------------------------------------------------------------
+
+def test_converter_cli_unwraps_and_writes(tmp_path):
+    """CLI path: open-mmlab 'state_dict' wrapper + 'backbone.' prefixes
+    (how mmseg checkpoints actually ship) convert end-to-end."""
+    import subprocess
+    from flax import serialization
+
+    torch.manual_seed(2)
+    tm = TMit().eval()
+    sd = {f"backbone.{k}": v for k, v in tm.state_dict().items()}
+    src = tmp_path / "mit_b0.pth"
+    torch.save({"state_dict": sd, "meta": {}}, src)
+    dst = tmp_path / "out.msgpack"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "convert_torch_weights.py"),
+         str(src), str(dst), "--arch", "mit_b0"],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    tree = serialization.msgpack_restore(dst.read_bytes())
+    got = tree["params"]["patch_embed1"]["Conv_0"]["kernel"]
+    want = np.transpose(tm.patch_embed1.proj.weight.detach().numpy(),
+                        (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
 
 def test_load_pretrained_grafts_and_validates(tmp_path):
     from flax import serialization

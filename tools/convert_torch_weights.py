@@ -37,8 +37,15 @@ Mapping notes (torch -> flax):
 """
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+# runnable as `python tools/convert_torch_weights.py` from anywhere: the
+# MNv3/MiT converters read their block tables from the flax modules
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def convert_conv(w):
