@@ -147,6 +147,8 @@ def default_config() -> CfgNode:
     _C.MODEL.NAME = "deeplabv3+"
     _C.MODEL.BACKBONE = "mobilenet_v2"
     _C.MODEL.PRETRAINED_WEIGHTS = ""
+    # stochastic depth for transformer backbones (official SegFormer: 0.1)
+    _C.MODEL.DROP_PATH_RATE = 0.0
 
     _C.CONTROLLER = CfgNode()
     _C.CONTROLLER.NAME = "controller"

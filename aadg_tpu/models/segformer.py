@@ -99,28 +99,56 @@ class MixFFN(nn.Module):
         return nn.Dense(self.dim, name="fc2")(x)
 
 
+class DropPath(nn.Module):
+    """Stochastic depth (timm ``DropPath``, `mix_transformer.py:130-131`):
+    drops the whole residual branch per sample, rescaling survivors by
+    1/keep. Parameter-free (adding it never changes checkpoint naming);
+    identity when rate == 0 or at eval."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 class Block(nn.Module):
     dim: int
     heads: int
     sr_ratio: int
     mlp_ratio: int
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x, h, w):
-        x = x + EfficientAttention(self.dim, self.heads, self.sr_ratio,
-                                   name="attn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm1")(x), h, w)
-        x = x + MixFFN(self.dim, self.mlp_ratio, name="ffn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm2")(x), h, w)
+    def __call__(self, x, h, w, train: bool = True):
+        det = not train
+        x = x + DropPath(self.drop_path, name="dp1")(
+            EfficientAttention(self.dim, self.heads, self.sr_ratio,
+                               name="attn")(
+                nn.LayerNorm(epsilon=1e-6, name="norm1")(x), h, w), det)
+        x = x + DropPath(self.drop_path, name="dp2")(
+            MixFFN(self.dim, self.mlp_ratio, name="ffn")(
+                nn.LayerNorm(epsilon=1e-6, name="norm2")(x), h, w), det)
         return x
 
 
 class MixTransformer(nn.Module):
     variant: str = "mit_b1"
+    # official SegFormer trains MiT with stochastic depth 0.1, linearly
+    # ramped over block depth (`mix_transformer.py:223-227` decay rule)
+    drop_path_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         dims, depths, heads, srs, mlp_ratio = VARIANTS[self.variant]
+        total = sum(depths)
+        dpr = [self.drop_path_rate * k / max(total - 1, 1)
+               for k in range(total)]
+        cur = 0
         feats = []
         for i in range(4):
             patch, stride = (7, 4) if i == 0 else (3, 2)
@@ -130,7 +158,9 @@ class MixTransformer(nn.Module):
             x = x.reshape(b, h * w, dims[i])
             for j in range(depths[i]):
                 x = Block(dims[i], heads[i], srs[i], mlp_ratio,
-                          name=f"block{i + 1}_{j}")(x, h, w)
+                          drop_path=dpr[cur + j],
+                          name=f"block{i + 1}_{j}")(x, h, w, train)
+            cur += depths[i]
             x = nn.LayerNorm(epsilon=1e-6, name=f"norm{i + 1}")(x)
             x = x.reshape(b, h, w, dims[i])
             feats.append(x)
@@ -168,11 +198,13 @@ class SegFormer(nn.Module):
     num_classes: int
     variant: str = "mit_b1"
     axis_name: Optional[str] = None
+    drop_path_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         in_h, in_w = x.shape[1], x.shape[2]
-        feats = MixTransformer(self.variant, name="backbone")(x, train)
+        feats = MixTransformer(self.variant, self.drop_path_rate,
+                               name="backbone")(x, train)
         logits = SegFormerHead(self.num_classes, axis_name=self.axis_name,
                                name="head")(feats, train)
         # x4 bilinear upsample to input resolution (`segformer.py:77-80`)

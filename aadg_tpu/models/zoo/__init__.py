@@ -24,10 +24,13 @@ from .attention_heads import (ACM, ANNHead, APCHead, CCHead,
 from .point_head import (PointHead, calculate_uncertainty, get_points_test,
                          get_points_train, point_rend_refine, point_sample)
 from .backbones import (CGNet, FastSCNN, HRNet, MobileNetV3, ResNeSt,
-                        ResNeXt, ResNetV1c)
+                        ResNeXt, ResNetV1c, UNetBackbone)
 from .necks import FPN
+from .sampler import ohem_weights
 from .segmentor import (CascadeEncoderDecoder, EncoderDecoder,
                         segmentor_slide_inference, whole_inference)
+from .api import (inference_segmentor, init_segmentor, save_segmentor,
+                  show_result)
 
 __all__ = [
     "accuracy", "binary_cross_entropy", "cross_entropy", "lovasz_hinge",
@@ -42,5 +45,7 @@ __all__ = [
     "SelfAttentionBlock", "encode_onehot_labels", "PointHead",
     "calculate_uncertainty", "get_points_test", "get_points_train",
     "point_rend_refine", "point_sample", "CGNet", "FastSCNN", "HRNet",
-    "MobileNetV3", "ResNeSt", "ResNeXt", "ResNetV1c",
+    "MobileNetV3", "ResNeSt", "ResNeXt", "ResNetV1c", "UNetBackbone",
+    "ohem_weights", "inference_segmentor", "init_segmentor",
+    "save_segmentor", "show_result",
 ]

@@ -1,0 +1,128 @@
+"""User-facing zoo inference API.
+
+Equivalent of mmseg's ``apis/inference.py``
+(`/root/reference/models/mmseg/apis/inference.py:11-127`):
+``init_segmentor`` builds a zoo segmentor and optionally loads a msgpack
+checkpoint, ``inference_segmentor`` runs normalize -> forward (whole or
+slide) -> argmax on raw uint8 images, and ``show_result`` palette-blends a
+prediction over the input (`segmentors/base.py` ``show_result``
+semantics: ``img*(1-opacity) + color_seg*opacity``).
+
+TPU-first: a jitted batched forward instead of the reference's
+per-image pipeline + ``torch.no_grad`` loop; preprocessing is one
+vectorized normalize (the mmseg test pipelines live in
+`aadg_tpu/data/pipeline.py` for dataset-level evaluation).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .builder import build_segmentor
+from .segmentor import segmentor_slide_inference
+
+# mmseg img_norm_cfg defaults (ImageNet mean/std, RGB order)
+IMAGENET_MEAN = (123.675, 116.28, 103.53)
+IMAGENET_STD = (58.395, 57.12, 57.375)
+
+
+def init_segmentor(arch: str, backbone: str, num_classes: int,
+                   checkpoint: Optional[str] = None,
+                   input_size: int = 64, seed: int = 0):
+    """Build a zoo segmentor and its variables (`inference.py:11-41`).
+
+    ``checkpoint`` is a flax-msgpack file holding the model's variable
+    dict (as written by ``save_segmentor``). Returns (model, variables).
+    """
+    from flax import serialization
+
+    model, _ = build_segmentor(arch, backbone, num_classes)
+    x = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), x, train=False)
+    if checkpoint:
+        with open(checkpoint, "rb") as f:
+            variables = serialization.from_bytes(variables, f.read())
+    return model, variables
+
+
+def save_segmentor(variables, path: str) -> None:
+    """Write variables as flax msgpack (the ``init_segmentor`` format)."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+
+
+def inference_segmentor(model, variables, imgs,
+                        mode: str = "whole",
+                        crop: Optional[Tuple[int, int]] = None,
+                        stride: Optional[Tuple[int, int]] = None,
+                        mean: Sequence[float] = IMAGENET_MEAN,
+                        std: Sequence[float] = IMAGENET_STD):
+    """Segment raw image(s) (`inference.py:69-98`).
+
+    ``imgs``: one HWC array or a NHWC batch (uint8 or float, RGB).
+    Returns a list of (H, W) int32 label maps, one per image — the
+    reference's return shape.
+    """
+    arr = np.asarray(imgs)
+    single = arr.ndim == 3
+    if single:
+        arr = arr[None]
+    x = (arr.astype(np.float32) - np.asarray(mean, np.float32)) \
+        / np.asarray(std, np.float32)
+    x = jnp.asarray(x)
+
+    # variables ride as a jit ARGUMENT: closure-captured params become
+    # program constants re-shipped every call on remote-attached backends
+    if mode == "slide":
+        assert crop is not None and stride is not None
+        num_classes = _num_classes(model)
+
+        @jax.jit
+        def run(v, images):
+            return segmentor_slide_inference(
+                lambda w: model.apply(v, w, train=False), images,
+                crop, stride, num_classes)
+    elif mode == "whole":
+        @jax.jit
+        def run(v, images):
+            logits, _ = model.apply(v, images, train=False)
+            return logits
+    else:
+        raise ValueError(mode)
+    logits = run(variables, x)
+    pred = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+    return [p for p in pred]
+
+
+def _num_classes(model) -> int:
+    head = getattr(model, "cascade_heads", None)
+    if head:
+        return head[-1].num_classes
+    return model.decode_head.num_classes
+
+
+def default_palette(num_classes: int) -> np.ndarray:
+    """mmseg's fallback random palette (`base.py show_result`): seeded
+    state, uint8 RGB triples."""
+    state = np.random.RandomState(42)
+    return state.randint(0, 255, size=(num_classes, 3), dtype=np.uint8)
+
+
+def show_result(img, seg, palette=None, opacity: float = 0.5):
+    """Blend a label map over the image; returns uint8 HWC
+    (`base.py show_result`: color_seg per class, 50/50 blend)."""
+    assert 0.0 < opacity <= 1.0
+    img = np.asarray(img).astype(np.float32)
+    seg = np.asarray(seg)
+    n = int(seg.max()) + 1 if palette is None else len(palette)
+    pal = default_palette(n) if palette is None \
+        else np.asarray(palette, np.uint8)
+    color = pal[np.clip(seg, 0, len(pal) - 1)].astype(np.float32)
+    out = img * (1.0 - opacity) + color * opacity
+    return out.astype(np.uint8)

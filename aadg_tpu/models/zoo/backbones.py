@@ -637,3 +637,162 @@ class CGNet(nn.Module):
             feats.append(z)
             y = z
         return feats
+
+
+# ---------------------------------------------------------------------------
+# UNet (mmseg configurable backbone)
+# ---------------------------------------------------------------------------
+
+
+class BasicConvBlock(nn.Module):
+    """`backbones/unet.py:13-84`: num_convs stacked ConvModules; the first
+    carries the stage stride, the rest the stage dilation."""
+    features: int
+    num_convs: int = 2
+    strides: int = 1
+    dilation: int = 1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for i in range(self.num_convs):
+            x = ConvModule(self.features, kernel=3,
+                           strides=self.strides if i == 0 else 1,
+                           dilation=1 if i == 0 else self.dilation,
+                           axis_name=self.axis_name, name=f"conv{i}")(
+                x, train)
+        return x
+
+
+class DeconvModule(nn.Module):
+    """`backbones/unet.py:87-145`: ConvTranspose 2x upsample -> BN -> ReLU.
+    Requires (kernel - scale) even and kernel >= scale."""
+    features: int
+    kernel: int = 4
+    scale: int = 2
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert self.kernel >= self.scale and \
+            (self.kernel - self.scale) % 2 == 0
+        # torch ConvTranspose2d(k, stride=scale, padding=(k-scale)//2)
+        # yields exactly in*scale; lax's SAME transposed-conv padding is
+        # the same symmetric (k-scale)//2 crop
+        # bias=True: mmseg's DeconvModule keeps ConvTranspose2d's default
+        # bias even under BN (`unet.py:127-131`) — checkpoint compatible
+        x = nn.ConvTranspose(self.features, (self.kernel, self.kernel),
+                             strides=(self.scale, self.scale),
+                             padding="SAME",
+                             use_bias=True, name="deconv")(x)
+        x = _bn(train, self.axis_name, "bn", x.dtype)(x)
+        return nn.relu(x)
+
+
+class InterpConv(nn.Module):
+    """`backbones/unet.py:148-221`: bilinear 2x upsample + 1x1 ConvModule
+    (upsample first unless ``conv_first``)."""
+    features: int
+    conv_first: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        def up(y):
+            return resize(y, (y.shape[1] * 2, y.shape[2] * 2))
+        conv = ConvModule(self.features, kernel=1,
+                          axis_name=self.axis_name, name="conv")
+        if self.conv_first:
+            return up(conv(x, train))
+        return conv(up(x), train)
+
+
+class UpConvBlock(nn.Module):
+    """`models/utils/up_conv_block.py:44-100`: upsample the coarse input,
+    concat the encoder skip, run a BasicConvBlock. When the paired encoder
+    stage never downsampled, upsampling degenerates to a 1x1 ConvModule."""
+    features: int
+    num_convs: int = 2
+    dilation: int = 1
+    upsample: Optional[str] = "InterpConv"  # None | InterpConv | DeconvModule
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, skip, x, train: bool = True):
+        if self.upsample == "InterpConv":
+            x = InterpConv(self.features, axis_name=self.axis_name,
+                           name="upsample")(x, train)
+        elif self.upsample == "DeconvModule":
+            x = DeconvModule(self.features, axis_name=self.axis_name,
+                             name="upsample")(x, train)
+        elif self.upsample is None:
+            x = ConvModule(self.features, kernel=1,
+                           axis_name=self.axis_name, name="upsample")(
+                x, train)
+        else:
+            raise ValueError(self.upsample)
+        x = jnp.concatenate([skip, x], axis=-1)
+        return BasicConvBlock(self.features, self.num_convs,
+                              dilation=self.dilation,
+                              axis_name=self.axis_name,
+                              name="conv_block")(x, train)
+
+
+class UNetBackbone(nn.Module):
+    """mmseg's configurable UNet (`backbones/unet.py:222-408`).
+
+    Returns ``dec_outs``: ``[bottleneck, ...decoder outputs coarse->fine]``
+    of length ``num_stages`` — mmseg's fcn_unet_s5-d16 family reads
+    ``in_index=4`` (full-res, base_channels wide) for the decode head and
+    ``in_index=3`` for the auxiliary head. Input H/W must be divisible by
+    the cumulative downsample rate (`:398-409`); flax ``nn.max_pool``
+    replaces MaxPool2d, everything NHWC.
+    """
+    base_channels: int = 64
+    num_stages: int = 5
+    strides: Sequence[int] = (1, 1, 1, 1, 1)
+    enc_num_convs: Sequence[int] = (2, 2, 2, 2, 2)
+    dec_num_convs: Sequence[int] = (2, 2, 2, 2)
+    downsamples: Sequence[bool] = (True, True, True, True)
+    enc_dilations: Sequence[int] = (1, 1, 1, 1, 1)
+    dec_dilations: Sequence[int] = (1, 1, 1, 1)
+    upsample: Optional[str] = "InterpConv"
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ns = self.num_stages
+        assert len(self.strides) == ns and len(self.enc_num_convs) == ns \
+            and len(self.enc_dilations) == ns
+        assert len(self.dec_num_convs) == ns - 1 \
+            and len(self.downsamples) == ns - 1 \
+            and len(self.dec_dilations) == ns - 1
+        rate = 1
+        for i in range(1, ns):
+            if self.strides[i] == 2 or self.downsamples[i - 1]:
+                rate *= 2
+        assert x.shape[1] % rate == 0 and x.shape[2] % rate == 0, \
+            f"input {x.shape[1:3]} not divisible by downsample rate {rate}"
+
+        enc_outs = []
+        for i in range(ns):
+            if i != 0 and self.strides[i] == 1 and self.downsamples[i - 1]:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = BasicConvBlock(self.base_channels * 2 ** i,
+                               self.enc_num_convs[i],
+                               strides=self.strides[i],
+                               dilation=self.enc_dilations[i],
+                               axis_name=self.axis_name,
+                               name=f"enc{i}")(x, train)
+            enc_outs.append(x)
+        dec_outs = [x]
+        for i in reversed(range(ns - 1)):
+            up = self.upsample if (self.strides[i + 1] != 1
+                                   or self.downsamples[i]) else None
+            x = UpConvBlock(self.base_channels * 2 ** i,
+                            self.dec_num_convs[i],
+                            dilation=self.dec_dilations[i],
+                            upsample=up, axis_name=self.axis_name,
+                            name=f"dec{i}")(enc_outs[i], x, train)
+            dec_outs.append(x)
+        return dec_outs

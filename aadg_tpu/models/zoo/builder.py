@@ -20,7 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 from .backbones import (CGNet, FastSCNN, HRNet, MobileNetV3, ResNeSt,
-                        ResNeXt, ResNetV1c)
+                        ResNeXt, ResNetV1c, UNetBackbone)
 from .heads import (ASPPHead, DepthwiseSeparableASPPHead,
                     DepthwiseSeparableFCNHead, FCNHead, FPNHead, LRASPPHead,
                     PSPHead, UPerHead)
@@ -49,6 +49,8 @@ def build_backbone(name: str, axis_name: Optional[str] = None):
             lambda: MobileNetV3("small", axis_name=axis_name), 96),
         "fast_scnn": (lambda: FastSCNN(axis_name=axis_name), 128),
         "cgnet": (lambda: CGNet(axis_name=axis_name), 256),
+        # mmseg's *_unet_s5-d16 config family
+        "unet_s5_d16": (lambda: UNetBackbone(axis_name=axis_name), 64),
     }
     fn, ch = table[name]
     return fn(), ch
@@ -101,11 +103,21 @@ def _hrnet_wire(head):
     return head
 
 
+def _unet_wire(head):
+    """mmseg's UNet configs (fcn/pspnet/deeplabv3_unet_s5-d16) read the
+    full-resolution decoder output: ``in_index=4`` of the 5 dec_outs."""
+    if isinstance(getattr(head, "in_index", None), int) and \
+            hasattr(head, "input_transform"):
+        return head.clone(in_index=4)
+    return head
+
+
 def build_segmentor(arch: str, backbone: str, num_classes: int,
                     axis_name: Optional[str] = None):
     """Returns (EncoderDecoder module, pooled-feature channels)."""
     bb, feat_ch = build_backbone(backbone, axis_name)
     hrnet = backbone.startswith("hrnet")
+    unet = backbone.startswith("unet")
     neck = None
     if arch == "sem_fpn":
         neck = FPN(out_channels=256, num_outs=4, axis_name=axis_name)
@@ -118,6 +130,8 @@ def build_segmentor(arch: str, backbone: str, num_classes: int,
                       ocr_channels=256, axis_name=axis_name)
         if hrnet:
             fcn, ocr = _hrnet_wire(fcn), _hrnet_wire(ocr)
+        if unet:
+            fcn, ocr = _unet_wire(fcn), _unet_wire(ocr)
         model = CascadeEncoderDecoder(
             backbone=bb, decode_head=fcn, cascade_heads=(ocr,),
             feat_ch=feat_ch)
@@ -125,6 +139,8 @@ def build_segmentor(arch: str, backbone: str, num_classes: int,
     head = _head(arch, num_classes, axis_name)
     if hrnet:
         head = _hrnet_wire(head)
+    if unet:
+        head = _unet_wire(head)
     model = EncoderDecoder(backbone=bb, neck=neck, decode_head=head,
                            feat_ch=feat_ch)
     return model, feat_ch

@@ -615,3 +615,119 @@ def test_load_pretrained_grafts_and_validates(tmp_path):
     with pytest.raises(ValueError):
         load_pretrained(variables["params"], variables["batch_stats"],
                         str(bad_path))
+
+
+# ---------------------------------------------------------------------------
+# UNet (mmseg `backbones/unet.py` naming: encoder.i.j.convs.k / decoder.i)
+# ---------------------------------------------------------------------------
+
+class TUConvModule(nn.Module):
+    def __init__(self, cin, cout, k=3, stride=1, dilation=1):
+        super().__init__()
+        pad = dilation * (k - 1) // 2
+        self.conv = nn.Conv2d(cin, cout, k, stride, padding=pad,
+                              dilation=dilation, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class TUBasicConvBlock(nn.Module):
+    def __init__(self, cin, cout, num_convs=2, stride=1, dilation=1):
+        super().__init__()
+        mods = [TUConvModule(cin, cout, stride=stride)]
+        for _ in range(num_convs - 1):
+            mods.append(TUConvModule(cout, cout, dilation=dilation))
+        self.convs = nn.Sequential(*mods)
+
+    def forward(self, x):
+        return self.convs(x)
+
+
+class TUInterpConv(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.interp_upsample = nn.Sequential(
+            nn.Upsample(scale_factor=2, mode="bilinear",
+                        align_corners=False),
+            TUConvModule(cin, cout, k=1))
+
+    def forward(self, x):
+        return self.interp_upsample(x)
+
+
+class TUDeconv(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.deconv_upsamping = nn.Sequential(
+            nn.ConvTranspose2d(cin, cout, 4, stride=2, padding=1),
+            nn.BatchNorm2d(cout), nn.ReLU())
+
+    def forward(self, x):
+        return self.deconv_upsamping(x)
+
+
+class TUUpConvBlock(nn.Module):
+    def __init__(self, cin, skip, cout, deconv=False):
+        super().__init__()
+        self.conv_block = TUBasicConvBlock(2 * skip, cout)
+        self.upsample = (TUDeconv if deconv else TUInterpConv)(cin, skip)
+
+    def forward(self, skip, x):
+        x = self.upsample(x)
+        return self.conv_block(torch.cat([skip, x], dim=1))
+
+
+class TUNet(nn.Module):
+    """mmseg UNet layout, 3 stages, all downsamples via MaxPool."""
+
+    def __init__(self, base=8, num_stages=3, deconv=False):
+        super().__init__()
+        self.encoder = nn.ModuleList()
+        self.decoder = nn.ModuleList()
+        cin = 3
+        for i in range(num_stages):
+            blocks = []
+            if i != 0:
+                blocks.append(nn.MaxPool2d(2))
+                self.decoder.append(TUUpConvBlock(
+                    base * 2 ** i, base * 2 ** (i - 1),
+                    base * 2 ** (i - 1), deconv=deconv))
+            blocks.append(TUBasicConvBlock(cin, base * 2 ** i))
+            self.encoder.append(nn.Sequential(*blocks))
+            cin = base * 2 ** i
+
+    def forward(self, x):
+        enc = []
+        for e in self.encoder:
+            x = e(x)
+            enc.append(x)
+        dec = [x]
+        for i in reversed(range(len(self.decoder))):
+            x = self.decoder[i](enc[i], x)
+            dec.append(x)
+        return dec
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("deconv", [False, True])
+def test_unet_matches_torch_oracle(deconv):
+    from aadg_tpu.models.zoo.backbones import UNetBackbone
+    from tools.convert_torch_weights import convert_unet
+
+    torch.manual_seed(0)
+    tm = TUNet(deconv=deconv).eval()
+    _randomize_bn(tm)
+    params, stats = convert_unet(tm.state_dict(), num_stages=3)
+    x_np = np.random.default_rng(5).uniform(
+        -1, 1, (1, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats = tm(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    fm = UNetBackbone(base_channels=8, num_stages=3, strides=(1, 1, 1),
+                      enc_num_convs=(2, 2, 2), dec_num_convs=(2, 2),
+                      downsamples=(True, True), enc_dilations=(1, 1, 1),
+                      dec_dilations=(1, 1),
+                      upsample="DeconvModule" if deconv else "InterpConv")
+    _forward_compare(fm, {"params": params, "batch_stats": stats},
+                     feats, x_np, atol=1e-4)

@@ -1,0 +1,53 @@
+"""Zoo inference API: init/save/load round-trip, whole+slide inference,
+palette blending (mmseg `apis/inference.py` surface)."""
+
+import numpy as np
+import pytest
+
+from aadg_tpu.models.zoo.api import (default_palette, inference_segmentor,
+                                     init_segmentor, save_segmentor,
+                                     show_result)
+
+
+@pytest.mark.slow
+def test_init_inference_roundtrip(tmp_path, rng):
+    model, variables = init_segmentor("fcn", "cgnet", num_classes=4,
+                                      input_size=32)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    out = inference_segmentor(model, variables, img)
+    assert len(out) == 1 and out[0].shape == (32, 32)
+    assert out[0].dtype == np.int32 and set(np.unique(out[0])) <= set(range(4))
+
+    # save -> reload -> identical prediction
+    ckpt = str(tmp_path / "seg.msgpack")
+    save_segmentor(variables, ckpt)
+    _, v2 = init_segmentor("fcn", "cgnet", num_classes=4,
+                           checkpoint=ckpt, input_size=32, seed=7)
+    out2 = inference_segmentor(model, v2, img)
+    np.testing.assert_array_equal(out[0], out2[0])
+
+    # batched input -> list of per-image maps
+    batch = rng.integers(0, 256, size=(2, 32, 32, 3), dtype=np.uint8)
+    outs = inference_segmentor(model, variables, batch)
+    assert len(outs) == 2
+
+
+@pytest.mark.slow
+def test_slide_inference_mode(rng):
+    model, variables = init_segmentor("fcn", "cgnet", num_classes=3,
+                                      input_size=16)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    out = inference_segmentor(model, variables, img, mode="slide",
+                              crop=(16, 16), stride=(8, 8))
+    assert out[0].shape == (32, 32)
+
+
+def test_show_result_blend(rng):
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    seg = rng.integers(0, 3, size=(8, 8))
+    pal = default_palette(3)
+    out = show_result(img, seg, palette=pal, opacity=0.5)
+    assert out.shape == (8, 8, 3) and out.dtype == np.uint8
+    exp = (img.astype(np.float32) * 0.5
+           + pal[seg].astype(np.float32) * 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(out, exp)

@@ -87,3 +87,58 @@ def test_cgnet_stages():
     assert feats[0].shape[-1] == 32 + 3       # stem + input injection
     assert feats[1].shape[-1] == 64 * 2 + 3   # blocks + first + injection
     assert feats[2].shape[-1] == 128 * 2      # blocks + first
+
+
+# ---------------------------------------------------------------------------
+# UNet (configurable mmseg backbone)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_unet_s5_d16_shapes():
+    from aadg_tpu.models.zoo.backbones import UNetBackbone
+    feats = _run(UNetBackbone(base_channels=16), size=64)
+    # dec_outs: bottleneck then decoder coarse->fine (unet.py:380-386)
+    assert [f.shape[1] for f in feats] == [4, 8, 16, 32, 64]
+    assert [f.shape[-1] for f in feats] == [256, 128, 64, 32, 16]
+
+
+@pytest.mark.slow
+def test_unet_deconv_and_stride_variants():
+    from aadg_tpu.models.zoo.backbones import UNetBackbone
+    # strided convs downsample instead of maxpool; Deconv upsampling
+    m = UNetBackbone(base_channels=8, num_stages=3,
+                     strides=(1, 2, 2), enc_num_convs=(1, 1, 1),
+                     dec_num_convs=(1, 1), downsamples=(False, False),
+                     enc_dilations=(1, 1, 1), dec_dilations=(1, 1),
+                     upsample="DeconvModule")
+    feats = _run(m, size=32)
+    assert [f.shape[1] for f in feats] == [8, 16, 32]
+    assert [f.shape[-1] for f in feats] == [32, 16, 8]
+
+
+@pytest.mark.slow
+def test_unet_no_downsample_stage_uses_1x1_upsample():
+    from aadg_tpu.models.zoo.backbones import UNetBackbone
+    # stage 1 neither strides nor pools -> its decoder step must NOT
+    # upsample (upsample=None 1x1-conv identity-resolution path)
+    m = UNetBackbone(base_channels=8, num_stages=2, strides=(1, 1),
+                     enc_num_convs=(1, 1), dec_num_convs=(1,),
+                     downsamples=(False,), enc_dilations=(1, 1),
+                     dec_dilations=(1,))
+    feats = _run(m, size=16)
+    assert [f.shape[1] for f in feats] == [16, 16]
+
+
+@pytest.mark.slow
+def test_unet_through_builder():
+    import numpy as _np
+    from aadg_tpu.models.zoo.builder import build_segmentor
+    model, feat_ch = build_segmentor("fcn", "unet_s5_d16", num_classes=3)
+    assert feat_ch == 64
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits, pooled = model.apply(variables, x, train=False)
+    assert logits.shape == (1, 32, 32, 3)
+    assert pooled.shape == (1, 64)
+    assert _np.isfinite(_np.asarray(logits)).all()

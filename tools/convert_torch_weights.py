@@ -340,6 +340,69 @@ def convert_mit(state_dict, variant="mit_b0"):
 # CLI
 # ---------------------------------------------------------------------------
 
+def convert_unet(sd, num_stages=5):
+    """mmseg UNet (`backbones/unet.py:222-408`, mmcv naming) ->
+    ``zoo.backbones.UNetBackbone``.
+
+    Torch layout: ``encoder.{i}.{0|1}.convs.{k}.{conv,bn}`` (BasicConvBlock
+    sits at Sequential index 1 when preceded by MaxPool),
+    ``decoder.{i}.conv_block.convs.{k}``, and the upsampler is either
+    ``decoder.{i}.upsample.interp_upsample.1.{conv,bn}`` (InterpConv:
+    Sequential(upsample, ConvModule)) or
+    ``decoder.{i}.upsample.deconv_upsamping.{0,1}`` (DeconvModule).
+    torch ConvTranspose2d weights are (in, out, kh, kw) acting as the
+    *gradient* of a conv; flax ConvTranspose applies the kernel unflipped,
+    so the spatial dims are reversed on top of the axis permute."""
+    m = _Mapper(sd)
+    for i in range(num_stages):
+        blk = None
+        for j in (0, 1):
+            if f"encoder.{i}.{j}.convs.0.conv.weight" in sd:
+                blk = f"encoder.{i}.{j}"
+                break
+        assert blk is not None, f"no BasicConvBlock for encoder stage {i}"
+        k = 0
+        while f"{blk}.convs.{k}.conv.weight" in sd:
+            m.conv([f"enc{i}", f"conv{k}", "conv"],
+                   f"{blk}.convs.{k}.conv.weight")
+            m.bn([f"enc{i}", f"conv{k}", "bn"], f"{blk}.convs.{k}.bn")
+            k += 1
+    for i in range(num_stages - 1):
+        up = f"decoder.{i}.upsample"
+        if f"{up}.interp_upsample.1.conv.weight" in sd:
+            m.conv([f"dec{i}", "upsample", "conv", "conv"],
+                   f"{up}.interp_upsample.1.conv.weight")
+            m.bn([f"dec{i}", "upsample", "conv", "bn"],
+                 f"{up}.interp_upsample.1.bn")
+        elif f"{up}.interp_upsample.0.conv.weight" in sd:  # conv_first
+            m.conv([f"dec{i}", "upsample", "conv", "conv"],
+                   f"{up}.interp_upsample.0.conv.weight")
+            m.bn([f"dec{i}", "upsample", "conv", "bn"],
+                 f"{up}.interp_upsample.0.bn")
+        elif f"{up}.deconv_upsamping.0.weight" in sd:
+            w = np.asarray(sd[f"{up}.deconv_upsamping.0.weight"])
+            _put(m.params, [f"dec{i}", "upsample", "deconv", "kernel"],
+                 w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+            if f"{up}.deconv_upsamping.0.bias" in sd:
+                _put(m.params, [f"dec{i}", "upsample", "deconv", "bias"],
+                     sd[f"{up}.deconv_upsamping.0.bias"])
+            m.bn([f"dec{i}", "upsample", "bn"], f"{up}.deconv_upsamping.1")
+        elif f"{up}.conv.weight" in sd:  # identity-resolution 1x1 ConvModule
+            m.conv([f"dec{i}", "upsample", "conv"], f"{up}.conv.weight")
+            m.bn([f"dec{i}", "upsample", "bn"], f"{up}.bn")
+        else:
+            raise KeyError(f"unrecognized upsampler under {up}")
+        k = 0
+        blk = f"decoder.{i}.conv_block"
+        while f"{blk}.convs.{k}.conv.weight" in sd:
+            m.conv([f"dec{i}", "conv_block", f"conv{k}", "conv"],
+                   f"{blk}.convs.{k}.conv.weight")
+            m.bn([f"dec{i}", "conv_block", f"conv{k}", "bn"],
+                 f"{blk}.convs.{k}.bn")
+            k += 1
+    return m.done()
+
+
 ARCHS = {
     "mobilenet_v2": lambda sd: convert(sd),
     "resnet50": lambda sd: convert_resnet(sd, 50),
@@ -358,6 +421,7 @@ ARCHS = {
     "mit_b1": lambda sd: convert_mit(sd, "mit_b1"),
     "mit_b2": lambda sd: convert_mit(sd, "mit_b2"),
     "mit_b3": lambda sd: convert_mit(sd, "mit_b3"),
+    "unet_s5_d16": lambda sd: convert_unet(sd),
 }
 
 
