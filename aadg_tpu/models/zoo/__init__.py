@@ -31,6 +31,7 @@ from .segmentor import (CascadeEncoderDecoder, EncoderDecoder,
                         segmentor_slide_inference, whole_inference)
 from .api import (inference_segmentor, init_segmentor, save_segmentor,
                   show_result)
+from .train_api import evaluate_segmentor, train_segmentor
 
 __all__ = [
     "accuracy", "binary_cross_entropy", "cross_entropy", "lovasz_hinge",
@@ -47,5 +48,6 @@ __all__ = [
     "point_rend_refine", "point_sample", "CGNet", "FastSCNN", "HRNet",
     "MobileNetV3", "ResNeSt", "ResNeXt", "ResNetV1c", "UNetBackbone",
     "ohem_weights", "inference_segmentor", "init_segmentor",
-    "save_segmentor", "show_result",
+    "save_segmentor", "show_result", "train_segmentor",
+    "evaluate_segmentor",
 ]

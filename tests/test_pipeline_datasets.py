@@ -215,3 +215,65 @@ def test_zoo_segmentor_trains_through_pipeline_data(tmp_path):
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0] * 1.5  # training, not diverging
+
+
+def test_get_classes_get_palette_registry():
+    """`core/evaluation/class_names.py:121-155` alias lookup."""
+    from aadg_tpu.data.dataset_meta import get_classes, get_palette
+    import pytest as _pytest
+    assert len(get_classes("ade20k")) == 150
+    assert len(get_classes("ade")) == 150
+    assert len(get_classes("cityscapes")) == 19
+    assert len(get_palette("cityscapes")) == 19
+    assert len(get_classes("voc")) == 21
+    assert len(get_classes("cocostuff")) == len(get_palette("coco-stuff"))
+    assert len(get_classes("mapillary")) == 66
+    with _pytest.raises(ValueError):
+        get_classes("imagenet")
+
+
+@pytest.mark.slow
+def test_train_segmentor_api_with_ohem_and_eval(tmp_path):
+    """mmseg `apis/train.py::train_segmentor` equivalent: pipeline data ->
+    jitted supervised steps with the OHEM sampler, EvalHook-style periodic
+    dataset.evaluate, and aux-head deep supervision."""
+    import jax
+    from aadg_tpu.models.zoo.builder import build_backbone
+    from aadg_tpu.models.zoo.heads import FCNHead
+    from aadg_tpu.models.zoo.segmentor import EncoderDecoder
+    from aadg_tpu.models.zoo.train_api import (evaluate_segmentor,
+                                               train_segmentor)
+
+    img_dir, ann_dir, _ = _tree(tmp_path, ".jpg", ".png", n=4, size=32,
+                                n_classes=4)
+    rng = np.random.default_rng(0)
+    cfg = dict(
+        type="CustomDataset", img_dir=img_dir, ann_dir=ann_dir,
+        img_suffix=".jpg", seg_map_suffix=".png",
+        pipeline=[RandomFlip(prob=0.5, rng=rng),
+                  Normalize(mean=[127.5] * 3, std=[127.5] * 3)])
+    ds = build_pipeline_dataset(cfg)
+
+    bb, feat_ch = build_backbone("cgnet")
+    model = EncoderDecoder(
+        backbone=bb,
+        decode_head=FCNHead(num_classes=4, channels=32, num_convs=1,
+                            concat_input=False),
+        auxiliary_heads=(FCNHead(num_classes=4, channels=16, num_convs=1,
+                                 concat_input=False, in_index=1),),
+        feat_ch=feat_ch)
+
+    logs = []
+    variables, hist = train_segmentor(
+        model, ds, max_iters=6, batch_size=2, lr=1e-2,
+        sampler=dict(type="OHEMPixelSampler", thresh=0.7, min_kept=200),
+        eval_dataset=ds, eval_interval=3, log_fn=logs.append)
+    assert len(hist["loss"]) == 6 and all(np.isfinite(hist["loss"]))
+    assert len(hist["eval"]) == 2
+    for ev in hist["eval"]:
+        assert "mIoU" in ev and "aAcc" in ev
+        assert np.isfinite(ev["aAcc"])
+    assert logs  # EvalHook-style logging fired
+
+    final = evaluate_segmentor(model, variables, ds)
+    assert 0.0 <= final["aAcc"] <= 1.0
