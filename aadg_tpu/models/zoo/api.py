@@ -76,9 +76,30 @@ def inference_segmentor(model, variables, imgs,
     x = (arr.astype(np.float32) - np.asarray(mean, np.float32)) \
         / np.asarray(std, np.float32)
     x = jnp.asarray(x)
+    logits = _runner(model, mode, crop, stride)(variables, x)
+    pred = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+    return [p for p in pred]
 
-    # variables ride as a jit ARGUMENT: closure-captured params become
-    # program constants re-shipped every call on remote-attached backends
+
+_RUNNERS: dict = {}
+
+
+def _runner(model, mode: str, crop, stride):
+    """Jitted forward for (model, mode, crop, stride), cached so repeat
+    ``inference_segmentor`` calls reuse the compiled program (flax modules
+    hash structurally, so equal configs share one entry).
+
+    Variables ride as a jit ARGUMENT: closure-captured params become
+    program constants re-shipped every call on remote-attached backends.
+    """
+    key = (model, mode, crop, stride)
+    try:
+        run = _RUNNERS.get(key)
+    except TypeError:  # unhashable field in the module config — uncached
+        key = None
+        run = None
+    if run is not None:
+        return run
     if mode == "slide":
         assert crop is not None and stride is not None
         num_classes = _num_classes(model)
@@ -95,9 +116,11 @@ def inference_segmentor(model, variables, imgs,
             return logits
     else:
         raise ValueError(mode)
-    logits = run(variables, x)
-    pred = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
-    return [p for p in pred]
+    if key is not None:
+        while len(_RUNNERS) >= 16:  # bound: drop oldest compiled program
+            _RUNNERS.pop(next(iter(_RUNNERS)))
+        _RUNNERS[key] = run
+    return run
 
 
 def _num_classes(model) -> int:

@@ -88,8 +88,10 @@ def ohem_weights(seg_logits: jnp.ndarray, seg_label: jnp.ndarray,
     losses = loss_fn(seg_logits, seg_label)
     flat = jnp.where(flat_valid, losses.reshape(-1), -jnp.inf)
     order = jnp.argsort(-flat)  # descending; invalid (-inf) at the tail
+    # ranked values = flat[order] — but as a sort, not an N-element gather
+    # (CLAUDE.md #4: per-element gathers are ~1000x slower than sorts)
     ranked_keep = (jnp.arange(total) < batch_kept) \
-        & jnp.isfinite(jnp.take(flat, order))
+        & jnp.isfinite(-jnp.sort(-flat))
     keep_flat = jnp.zeros((total,), jnp.float32).at[order].set(
         ranked_keep.astype(jnp.float32))
     return keep_flat.reshape(seg_label.shape)

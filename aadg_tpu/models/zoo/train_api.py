@@ -82,14 +82,17 @@ def train_segmentor(model, dataset, *,
     tx = optax.adam(lr)
     opt = tx.init(params)
 
-    def seg_loss(logits, y):
+    def seg_loss(logits, y, sampled=True):
+        # mmseg applies the sampler weights through weight_reduce_loss with
+        # avg_factor=None -> (loss*weight).mean() over ALL pixels
+        # (`losses/utils.py`), and only on the decode head — aux heads have
+        # no sampler in the OHEM configs (sampler lives in the decode_head
+        # config, `decode_heads/decode_head.py:225-226`).
         w = None
-        avg = None
-        if ohem_kwargs is not None:
+        if sampled and ohem_kwargs is not None:
             w = ohem_weights(logits, y, ignore_index=ignore_index,
                              **ohem_kwargs)
-            avg = jnp.maximum(jnp.sum(w), 1.0)
-        return cross_entropy(logits, y, weight=w, avg_factor=avg,
+        return cross_entropy(logits, y, weight=w,
                              ignore_index=ignore_index)
 
     @jax.jit
@@ -110,7 +113,7 @@ def train_segmentor(model, dataset, *,
                 aux = ()
             loss = seg_loss(logits, y)
             for a in aux:
-                loss = loss + aux_weight * seg_loss(a, y)
+                loss = loss + aux_weight * seg_loss(a, y, sampled=False)
             return loss, new.get("batch_stats", {})
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -146,15 +149,34 @@ def train_segmentor(model, dataset, *,
     return out, history
 
 
+_EVAL_FWD: dict = {}
+
+
+def _eval_fwd(model):
+    """Per-model jitted eval forward. Cached (flax modules hash
+    structurally) so periodic EvalHook calls reuse one compiled program
+    instead of retracing a fresh closure every evaluation."""
+    try:
+        run = _EVAL_FWD.get(model)
+    except TypeError:  # unhashable field in the module config
+        run = None
+    if run is None:
+        @jax.jit
+        def run(v, x):
+            logits, _ = model.apply(v, x, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        try:
+            _EVAL_FWD[model] = run
+        except TypeError:
+            pass
+    return run
+
+
 def evaluate_segmentor(model, variables, dataset, metric: str = "mIoU",
                        batch_size: int = 2):
     """EvalHook equivalent: whole-image inference over ``dataset``, then
     ``dataset.evaluate`` (aAcc / per-class acc / mIoU or mDice)."""
-    @jax.jit
-    def fwd(v, x):
-        logits, _ = model.apply(v, x, train=False)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
+    fwd = _eval_fwd(model)
     results = []
     for start in range(0, len(dataset), batch_size):
         idxs = range(start, min(start + batch_size, len(dataset)))
