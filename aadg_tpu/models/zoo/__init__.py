@@ -22,13 +22,15 @@ from .attention_heads import (ACM, ANNHead, APCHead, CCHead,
                               OCRHead, PSAHead, SelfAttentionBlock,
                               encode_onehot_labels)
 from .point_head import (PointHead, calculate_uncertainty, get_points_test,
-                         get_points_train, point_rend_refine, point_sample)
+                         get_points_train, point_rend_refine, point_sample,
+                         point_sample_labels)
 from .backbones import (CGNet, FastSCNN, HRNet, MobileNetV3, ResNeSt,
                         ResNeXt, ResNetV1c, UNetBackbone)
 from .necks import FPN
 from .sampler import ohem_weights
 from .segmentor import (CascadeEncoderDecoder, EncoderDecoder,
-                        segmentor_slide_inference, whole_inference)
+                        PointRendSegmentor, segmentor_slide_inference,
+                        whole_inference)
 from .api import (inference_segmentor, init_segmentor, save_segmentor,
                   show_result)
 from .train_api import evaluate_segmentor, train_segmentor
@@ -45,7 +47,8 @@ __all__ = [
     "EncHead", "GCHead", "NLHead", "OCRHead", "PSAHead",
     "SelfAttentionBlock", "encode_onehot_labels", "PointHead",
     "calculate_uncertainty", "get_points_test", "get_points_train",
-    "point_rend_refine", "point_sample", "CGNet", "FastSCNN", "HRNet",
+    "point_rend_refine", "point_sample", "point_sample_labels",
+    "PointRendSegmentor", "CGNet", "FastSCNN", "HRNet",
     "MobileNetV3", "ResNeSt", "ResNeXt", "ResNetV1c", "UNetBackbone",
     "ohem_weights", "inference_segmentor", "init_segmentor",
     "save_segmentor", "show_result", "train_segmentor",

@@ -62,12 +62,27 @@ def inference_segmentor(model, variables, imgs,
                         crop: Optional[Tuple[int, int]] = None,
                         stride: Optional[Tuple[int, int]] = None,
                         mean: Sequence[float] = IMAGENET_MEAN,
-                        std: Sequence[float] = IMAGENET_STD):
+                        std: Sequence[float] = IMAGENET_STD,
+                        mesh=None,
+                        dtype: Optional[str] = None):
     """Segment raw image(s) (`inference.py:69-98`).
 
     ``imgs``: one HWC array or a NHWC batch (uint8 or float, RGB).
     Returns a list of (H, W) int32 label maps, one per image — the
     reference's return shape.
+
+    ``dtype``: serving compute dtype, e.g. ``"bfloat16"`` — f32 params
+    and inputs are cast at the boundary so every conv/matmul runs on the
+    MXU's native bf16 path (flax layers inherit the promoted input/param
+    dtype). Predictions are argmax maps, so the ~3-decimal-digit bf16
+    rounding only flips near-tie pixels.
+
+    ``mesh``: a `jax.sharding.Mesh` — the TPU-native equivalent of
+    mmseg's ``apis/test.py`` ``multi_gpu_test`` (per-rank model copies +
+    cross-rank result collection): the batch is sharded over the mesh's
+    first axis, params are replicated, and XLA runs the replicas in
+    parallel over ICI. Predictions are bit-identical to single-device
+    inference (eval-mode BN has no cross-sample coupling).
     """
     arr = np.asarray(imgs)
     single = arr.ndim == 3
@@ -76,9 +91,33 @@ def inference_segmentor(model, variables, imgs,
     x = (arr.astype(np.float32) - np.asarray(mean, np.float32)) \
         / np.asarray(std, np.float32)
     x = jnp.asarray(x)
+    if dtype is not None:
+        x = x.astype(dtype)
+        variables = cast_variables(variables, dtype)
+    n_orig = x.shape[0]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        pad = (-n_orig) % n_dev
+        if pad:  # pad to an even shard split, dropped after the forward
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+        x = jax.device_put(x, NamedSharding(mesh, P(mesh.axis_names[0])))
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
     logits = _runner(model, mode, crop, stride)(variables, x)
     pred = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
-    return [p for p in pred]
+    return [p for p in pred[:n_orig]]
+
+
+def cast_variables(variables, dtype):
+    """Cast every f32 leaf (params AND batch_stats) to ``dtype``; integer
+    and non-f32 leaves pass through."""
+    import jax.numpy as _jnp
+
+    def leaf(a):
+        if hasattr(a, "dtype") and a.dtype == _jnp.float32:
+            return a.astype(dtype)
+        return a
+    return jax.tree_util.tree_map(leaf, variables)
 
 
 _RUNNERS: dict = {}

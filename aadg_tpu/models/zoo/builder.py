@@ -28,7 +28,9 @@ from .attention_heads import (ANNHead, APCHead, CCHead, DAHead, DMHead,
                               DNLHead, EMAHead, EncHead, GCHead, NLHead,
                               OCRHead, PSAHead)
 from .necks import FPN
-from .segmentor import CascadeEncoderDecoder, EncoderDecoder
+from .point_head import PointHead
+from .segmentor import (CascadeEncoderDecoder, EncoderDecoder,
+                        PointRendSegmentor)
 
 
 def build_backbone(name: str, axis_name: Optional[str] = None):
@@ -88,7 +90,7 @@ def _head(arch: str, num_classes: int, axis_name):
 ZOO_ARCHS = ("fcn", "pspnet", "deeplabv3", "deeplabv3plus", "upernet",
              "sem_fpn", "lraspp", "nonlocal_net", "gcnet", "dnlnet",
              "ccnet", "annnet", "apcnet", "dmnet", "emanet", "danet",
-             "psanet", "encnet", "ocrnet", "fast_scnn")
+             "psanet", "encnet", "ocrnet", "fast_scnn", "pointrend")
 
 
 def _hrnet_wire(head):
@@ -122,6 +124,19 @@ def build_segmentor(arch: str, backbone: str, num_classes: int,
     if arch == "sem_fpn":
         neck = FPN(out_channels=256, num_outs=4, axis_name=axis_name)
         feat_ch = 256
+    if arch == "pointrend":
+        # mmseg pointrend_r50/r101: FPN base, FPNHead coarse logits,
+        # PointHead refinement (fine-grained feats = FPN level 0)
+        neck = FPN(out_channels=256, num_outs=4, axis_name=axis_name)
+        feat_ch = 256
+        coarse = FPNHead(num_classes=num_classes, channels=128,
+                         axis_name=axis_name)
+        point = PointHead(num_classes=num_classes, channels=256,
+                          num_fcs=3, in_index=(0,))
+        model = PointRendSegmentor(
+            backbone=bb, neck=neck, decode_head=coarse, point_head=point,
+            feat_ch=feat_ch)
+        return model, feat_ch
     if arch == "ocrnet":
         # cascade: FCN first, OCR refiner (mmseg ocrnet configs)
         fcn = FCNHead(num_classes=num_classes, channels=512,

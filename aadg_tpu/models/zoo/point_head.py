@@ -82,6 +82,20 @@ def get_points_train(seg_logits: jnp.ndarray, num_points: int,
     return jnp.concatenate([picked, rand], axis=1)
 
 
+def point_sample_labels(labels: jnp.ndarray,
+                        coords: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour label sampling at normalized (x, y) ``coords``
+    (B, P, 2) — grid_sample mode='nearest', align_corners=False, the way
+    mmseg samples gt at training points (`point_head.py` losses:
+    ``point_sample(gt.float(), points, mode='nearest')``). ``labels``
+    (B, H, W) int."""
+    b, h, w = labels.shape
+    xs = jnp.clip(jnp.floor(coords[..., 0] * w), 0, w - 1).astype(jnp.int32)
+    ys = jnp.clip(jnp.floor(coords[..., 1] * h), 0, h - 1).astype(jnp.int32)
+    flat = labels.reshape(b, h * w)
+    return jnp.take_along_axis(flat, ys * w + xs, axis=1)
+
+
 def get_points_test(seg_logits: jnp.ndarray,
                     num_points: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The ``num_points`` most uncertain pixel centers. Returns (flat

@@ -21,8 +21,11 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from ...engine.slide import slide_inference
 from .layers import resize
+from .point_head import get_points_train, point_rend_refine
 
 
 class EncoderDecoder(nn.Module):
@@ -87,6 +90,55 @@ class CascadeEncoderDecoder(EncoderDecoder):
         logits = resize(out, (x.shape[1], x.shape[2]))
         pooled = jnp.mean(feats[-1], axis=(1, 2))
         return logits, pooled
+
+
+class PointRendSegmentor(EncoderDecoder):
+    """PointRend (`cascade_encoder_decoder.py` driving `point_head.py` —
+    the mmseg ``pointrend_r50/r101`` family): FPN base, coarse FPNHead,
+    PointHead refinement.
+
+    Eval (``train=False``) runs the iterative-subdivision refinement
+    (`point_head.py` forward_test, test_cfg subdivision_steps=2).
+    Train-time ``__call__`` returns the coarse logits (the decode-head
+    loss path); the point loss trains through ``forward_train_points``,
+    which `zoo.train_api.train_segmentor` consumes exactly like mmseg's
+    cascade ``loss_point`` (importance-sampled points, nearest-sampled
+    gt labels)."""
+    point_head: Optional[nn.Module] = None
+    train_num_points: int = 2048
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    subdivision_steps: int = 2
+    subdivision_num_points: int = 8196
+
+    def __call__(self, x, train: bool = True):
+        feats = self.extract_feat(x, train)
+        coarse = self.decode_head(feats, train)
+        if not train:
+            def head_apply(fs, logits, coords):
+                return self.point_head(fs, logits, coords, train)
+            coarse = point_rend_refine(
+                head_apply, feats, coarse,
+                subdivision_steps=self.subdivision_steps,
+                subdivision_num_points=self.subdivision_num_points)
+        logits = resize(coarse, (x.shape[1], x.shape[2]))
+        pooled = jnp.mean(feats[-1], axis=(1, 2))
+        return logits, pooled
+
+    def forward_train_points(self, x, rng, train: bool = True):
+        """Returns (coarse_logits_upsampled, pooled, point_logits,
+        point_coords). Point selection follows `point_head.py`
+        get_points_train on the stop-gradient coarse map (mmseg samples
+        under torch.no_grad)."""
+        feats = self.extract_feat(x, train)
+        coarse = self.decode_head(feats, train)
+        pts = get_points_train(
+            jax.lax.stop_gradient(coarse), self.train_num_points,
+            self.oversample_ratio, self.importance_sample_ratio, rng)
+        point_logits = self.point_head(feats, coarse, pts, train)
+        logits = resize(coarse, (x.shape[1], x.shape[2]))
+        pooled = jnp.mean(feats[-1], axis=(1, 2))
+        return logits, pooled, point_logits, pts
 
 
 def whole_inference(apply_fn, images: jnp.ndarray) -> jnp.ndarray:

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .losses import cross_entropy
+from .point_head import point_sample_labels
 from .sampler import ohem_weights
 
 
@@ -68,11 +69,17 @@ def train_segmentor(model, dataset, *,
         ohem_kwargs = None
 
     has_aux = bool(getattr(model, "auxiliary_heads", ()))
+    # PointRend: the point head trains on importance-sampled points with
+    # nearest-sampled gt labels (mmseg cascade ``loss_point``)
+    has_point = getattr(model, "point_head", None) is not None
     rng = jax.random.PRNGKey(seed)
     perm_rng = np.random.default_rng(seed)
 
     x0, _ = _assemble(dataset, range(min(batch_size, len(dataset))))
-    if has_aux:
+    if has_point:
+        variables = model.init(rng, x0, jax.random.PRNGKey(0), train=True,
+                               method=type(model).forward_train_points)
+    elif has_aux:
         variables = model.init(rng, x0, train=True,
                                method=type(model).forward_train)
     else:
@@ -101,7 +108,14 @@ def train_segmentor(model, dataset, *,
             v = {"params": p}
             if stats:
                 v["batch_stats"] = stats
-            if has_aux:
+            if has_point:
+                kd, kp = jax.random.split(key)
+                (logits, _, plogits, pts), new = model.apply(
+                    v, x, kp, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": kd},
+                    method=type(model).forward_train_points)
+                aux = ()
+            elif has_aux:
                 (logits, _, aux), new = model.apply(
                     v, x, train=True, mutable=["batch_stats"],
                     rngs={"dropout": key},
@@ -114,6 +128,10 @@ def train_segmentor(model, dataset, *,
             loss = seg_loss(logits, y)
             for a in aux:
                 loss = loss + aux_weight * seg_loss(a, y, sampled=False)
+            if has_point:
+                plabels = point_sample_labels(y, pts)
+                loss = loss + cross_entropy(plogits, plabels,
+                                            ignore_index=ignore_index)
             return loss, new.get("batch_stats", {})
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -173,14 +191,32 @@ def _eval_fwd(model):
 
 
 def evaluate_segmentor(model, variables, dataset, metric: str = "mIoU",
-                       batch_size: int = 2):
+                       batch_size: int = 2, mesh=None):
     """EvalHook equivalent: whole-image inference over ``dataset``, then
-    ``dataset.evaluate`` (aAcc / per-class acc / mIoU or mDice)."""
+    ``dataset.evaluate`` (aAcc / per-class acc / mIoU or mDice).
+
+    ``mesh``: shard each batch over the mesh's first axis with replicated
+    params — the TPU-native ``apis/test.py`` ``multi_gpu_test`` (results
+    identical to single-device; the batch pads up to the device count)."""
     fwd = _eval_fwd(model)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        batch_size = max(batch_size, n_dev)
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
     results = []
     for start in range(0, len(dataset), batch_size):
         idxs = range(start, min(start + batch_size, len(dataset)))
         x, _ = _assemble(dataset, idxs)
-        pred = np.asarray(fwd(variables, x))
+        n_orig = x.shape[0]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            pad = (-n_orig) % n_dev
+            if pad:
+                x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+            x = jax.device_put(
+                x, NamedSharding(mesh, P(mesh.axis_names[0])))
+        pred = np.asarray(fwd(variables, x))[:n_orig]
         results.extend(list(pred))
     return dataset.evaluate(results, metric=metric)

@@ -42,6 +42,37 @@ def test_slide_inference_mode(rng):
     assert out[0].shape == (32, 32)
 
 
+@pytest.mark.slow
+def test_mesh_sharded_inference_matches_single_device(rng):
+    """`apis/test.py` multi_gpu_test equivalent: batch sharded over the
+    mesh + replicated params gives the single-device predictions (with
+    ragged batches padded up to the device count)."""
+    from aadg_tpu.parallel.mesh import make_mesh
+
+    model, variables = init_segmentor("fcn", "cgnet", num_classes=3,
+                                      input_size=16)
+    batch = rng.integers(0, 256, size=(5, 16, 16, 3), dtype=np.uint8)
+    single = inference_segmentor(model, variables, batch)
+    sharded = inference_segmentor(model, variables, batch,
+                                  mesh=make_mesh(8))
+    assert len(sharded) == len(single) == 5
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_bf16_serving_dtype_agrees_with_f32(rng):
+    """dtype='bfloat16' casts params+inputs at the boundary; argmax maps
+    should agree with f32 except at near-tie pixels."""
+    model, variables = init_segmentor("fcn", "cgnet", num_classes=3,
+                                      input_size=16)
+    img = rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    f32 = inference_segmentor(model, variables, img)
+    bf16 = inference_segmentor(model, variables, img, dtype="bfloat16")
+    agree = np.mean([np.mean(a == b) for a, b in zip(f32, bf16)])
+    assert agree > 0.9, agree
+
+
 def test_show_result_blend(rng):
     img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
     seg = rng.integers(0, 3, size=(8, 8))

@@ -69,6 +69,31 @@ def test_sem_fpn_resnet_forward():
 
 
 @pytest.mark.slow
+def test_pointrend_builder_eval_and_train_paths():
+    """pointrend arch: FPN base + FPNHead coarse + PointHead refinement.
+    Eval runs iterative subdivision; forward_train_points returns point
+    logits at importance-sampled coords for the mmseg-style point loss."""
+    model, feat_ch = build_segmentor("pointrend", "resnet50_v1c", 2)
+    assert feat_ch == 256
+    x = jnp.zeros((1, 32, 32, 3))
+    v = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1),
+                   train=True, method=type(model).forward_train_points)
+    assert "point_head" in v["params"]
+    logits, pooled = model.apply(v, x, train=False)
+    assert logits.shape == (1, 32, 32, 2)
+    assert pooled.shape == (1, 256)
+    assert np.isfinite(np.asarray(logits)).all()
+    out = model.apply(v, x, jax.random.PRNGKey(2), train=True,
+                      mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(3)},
+                      method=type(model).forward_train_points)
+    (coarse_up, pooled_t, plogits, pts) = out[0]
+    assert coarse_up.shape == (1, 32, 32, 2)
+    assert plogits.shape == (1, model.train_num_points, 2)
+    assert pts.shape == (1, model.train_num_points, 2)
+    assert float(pts.min()) >= 0.0 and float(pts.max()) <= 1.0
+
+
+@pytest.mark.slow
 def test_fcn_hrnet_resize_concat_wiring():
     """With HRNet backbones single-input heads get mmseg's stride-4
     resize_concat of all four branches (fcn_hr18 convention)."""

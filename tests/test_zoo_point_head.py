@@ -9,7 +9,20 @@ import torch.nn.functional as F
 
 from aadg_tpu.models.zoo import (PointHead, calculate_uncertainty,
                                  get_points_test, get_points_train,
-                                 point_rend_refine, point_sample)
+                                 point_rend_refine, point_sample,
+                                 point_sample_labels)
+
+
+def test_point_sample_labels_matches_grid_sample_nearest(rng):
+    labels = rng.integers(0, 5, size=(2, 7, 9)).astype(np.int32)
+    coords = rng.uniform(0.03, 0.97, size=(2, 17, 2)).astype(np.float32)
+    ours = point_sample_labels(jnp.asarray(labels), jnp.asarray(coords))
+    t_lab = torch.tensor(labels).float().unsqueeze(1)  # (B,1,H,W)
+    grid = torch.tensor(coords).unsqueeze(2) * 2 - 1
+    t = F.grid_sample(t_lab, grid, mode="nearest", align_corners=False,
+                      padding_mode="border")
+    t = t.squeeze(1).squeeze(-1).long()  # (B,P)
+    np.testing.assert_array_equal(np.asarray(ours), t.numpy())
 
 
 def test_point_sample_matches_grid_sample(rng):

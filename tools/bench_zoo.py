@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--dtype", default=None,
+                    help="serving compute dtype, e.g. bfloat16 "
+                         "(params+inputs cast at the boundary)")
     args = ap.parse_args()
 
     from aadg_tpu.models.zoo.builder import build_segmentor
@@ -52,10 +55,15 @@ def main():
     # size-independent, and unjitted init at the bench shape keeps every
     # intermediate alive (OOMs a 16 GB chip on R50-OS8 @8x512²)
     x_init = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    if args.dtype:
+        x = x.astype(args.dtype)
     for name, model in models():
         variables = jax.jit(
             lambda k, xi, m=model: m.init(k, xi, train=False))(
                 jax.random.PRNGKey(0), x_init)
+        if args.dtype:
+            from aadg_tpu.models.zoo.api import cast_variables
+            variables = cast_variables(variables, args.dtype)
 
         @jax.jit
         def run(v, x):
@@ -78,6 +86,7 @@ def main():
         dt = (time.time() - t0) / args.iters
         print(json.dumps({
             "model": name, "batch": args.batch, "size": args.size,
+            "dtype": args.dtype or "float32",
             "ms_per_batch": round(dt * 1e3, 2),
             "img_per_sec": round(args.batch / dt, 1)}))
 
