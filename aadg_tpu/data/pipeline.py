@@ -905,8 +905,17 @@ def build_pipeline_dataset(cfg, default_args: Optional[dict] = None):
             build_pipeline_dataset(cfg["dataset"], default_args),
             cfg["times"])
     cls = DATASETS[cfg.pop("type")]
+    raw_pipeline = cfg.get("pipeline", ())
+    # mmseg configs may put reduce_zero_label on the LoadAnnotations step
+    # (`pipelines/loading.py:105`) rather than the dataset; the loader
+    # step itself is a CustomDataset native here, so plumb the flag
+    # through to the dataset instead of silently dropping it
+    for p in raw_pipeline:
+        if isinstance(p, dict) and p.get("type") == "LoadAnnotations" \
+                and "reduce_zero_label" in p:
+            cfg.setdefault("reduce_zero_label", p["reduce_zero_label"])
     pipeline = [x for x in
                 ((build_transform(p) if isinstance(p, dict) else p)
-                 for p in cfg.get("pipeline", ())) if x]
+                 for p in raw_pipeline) if x]
     cfg["pipeline"] = pipeline
     return cls(**cfg)

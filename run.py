@@ -17,7 +17,7 @@ import sys
 from aadg_tpu.config import load_config
 
 
-def main():
+def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="Adversarial AutoAugment (TPU)")
     parser.add_argument("--mode", default="search",
                         help="[search / train / test]")
@@ -31,9 +31,36 @@ def main():
                         help="devices on the data mesh axis (-1 = all)")
     parser.add_argument("--smoke_test", action="store_true",
                         help="tiny run: 2 epochs (1 warmup), 2 steps/epoch")
+    # reference-launcher compat (`/root/reference/run.py:16-36`): accepted
+    # so a reference command line runs unchanged; mapped onto the mesh or
+    # ignored (JAX is single-controller — no rendezvous/worker procs)
+    parser.add_argument("--multiprocessing_distributed", action="store_true",
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--gpus", default=None, type=int,
+                        help=argparse.SUPPRESS)
+    for _ignored in ("--workers", "-j", "--world_size", "--rank", "--gpu"):
+        parser.add_argument(_ignored, type=int, default=None,
+                            help=argparse.SUPPRESS)
+    parser.add_argument("--dist_url", type=str, default=None,
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--dist_backend", type=str, default=None,
+                        help=argparse.SUPPRESS)
     parser.add_argument("opts", nargs=argparse.REMAINDER,
                         help="config overrides: KEY VALUE ...")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
+    if args.data_parallel == -1 and (args.gpus or 0) > 1:
+        # the reference's "one process per GPU" ⇒ shard the batch over
+        # that many chips on the data mesh axis (the -1 default already
+        # auto-shards over all visible devices)
+        args.data_parallel = args.gpus
+        print(f"note: --gpus {args.gpus} maps to --data_parallel "
+              f"{args.gpus} (single-controller JAX; no process launcher "
+              "needed)", file=sys.stderr)
+    return args
+
+
+def main():
+    args = parse_args()
 
     cfg = load_config(args.cfg, args.opts or None)
     cfg.OUTPUT_DIR = args.output_dir

@@ -72,6 +72,26 @@ def test_run_train_data_parallel_autoaug(tmp_path):
     assert np.isfinite(result["avg_dsc"])
 
 
+def test_cli_accepts_reference_distributed_flags():
+    """A reference command line (`/root/reference/run.py:16-36` flag
+    surface) parses unchanged; `--gpus N` maps onto the data mesh."""
+    import run as cli
+
+    args = cli.parse_args([
+        "--cfg", os.path.join(FIXTURES, "synthetic_optic.yaml"),
+        "--mode", "search", "--multiprocessing_distributed",
+        "--world_size", "1", "--rank", "0", "--gpu", "0", "--gpus", "4",
+        "-j", "4", "--dist_url", "tcp://localhost:10001",
+        "--dist_backend", "nccl", "--seed", "7",
+        "TRAIN.BATCH_SIZE", "8"])
+    assert args.data_parallel == 4  # --gpus 4 → 4-way data mesh
+    assert args.seed == 7
+    assert args.opts == ["TRAIN.BATCH_SIZE", "8"]
+    # single-gpu flags leave the auto default alone
+    args = cli.parse_args(["--cfg", "x.yaml", "--gpus", "1"])
+    assert args.data_parallel == -1
+
+
 def test_resolve_data_parallel_auto_and_strict():
     from aadg_tpu.parallel.mesh import resolve_data_parallel
     import pytest

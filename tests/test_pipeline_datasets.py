@@ -149,6 +149,29 @@ class TestBuilder:
         # pad fills seg with ignore
         assert (s["gt_semantic_seg"][:, 50:] == 255).all()
 
+    def test_load_annotations_reduce_zero_label_plumbed(self, tmp_path):
+        # mmseg configs put reduce_zero_label on the LoadAnnotations
+        # step (`pipelines/loading.py:105`); the builder must forward
+        # it to the dataset instead of silently dropping the loader dict
+        img_dir, ann_dir, _ = _tree(tmp_path, ".jpg", ".png")
+        ds = build_pipeline_dataset(dict(
+            type="CustomDataset", img_dir=img_dir, ann_dir=ann_dir,
+            img_suffix=".jpg",
+            pipeline=[
+                dict(type="LoadImageFromFile"),
+                dict(type="LoadAnnotations", reduce_zero_label=True),
+            ]))
+        assert ds.reduce_zero_label is True
+        seg = ds[0]["gt_semantic_seg"]
+        assert set(np.unique(seg)) <= set(range(7)) | {255}
+        # an explicit dataset-level flag wins over the loader step's
+        ds2 = build_pipeline_dataset(dict(
+            type="CustomDataset", img_dir=img_dir, ann_dir=ann_dir,
+            img_suffix=".jpg", reduce_zero_label=False,
+            pipeline=[dict(type="LoadAnnotations",
+                           reduce_zero_label=True)]))
+        assert ds2.reduce_zero_label is False
+
     def test_builder_rejects_unknown_kwarg(self, tmp_path):
         img_dir, ann_dir, _ = _tree(tmp_path, ".jpg", ".png")
         with pytest.raises(KeyError):
