@@ -27,6 +27,7 @@ from ..losses import normalize_rewards
 from ..models import controller as ctrl_mod
 from ..models import momentum_update, synchronize_parameters
 from ..data.datasets import build_dataset, load_train_arrays, load_test_arrays
+from ..parallel.dp import scan_steps
 from ..data.stores import (make_train_store, make_test_store,
                            sample_train_batch)
 from .evaluate import validate
@@ -56,7 +57,7 @@ def _make_epoch_runners(ent, batch_size, steps, M, cfg):
             carry, m = pre_step(carry, batch, ks)
             return carry, m
         keys = jax.random.split(key, steps)
-        ts, ms = jax.lax.scan(body, ts, keys)
+        ts, ms = scan_steps(body, ts, keys)
         return ts, jax.tree_util.tree_map(jnp.mean, ms)
 
     @jax.jit
@@ -67,7 +68,7 @@ def _make_epoch_runners(ent, batch_size, steps, M, cfg):
             carry, m, r = srch_step(carry, batch, policies, ks)
             return carry, (m, r)
         keys = jax.random.split(key, steps)
-        ts, (ms, rs) = jax.lax.scan(body, ts, keys)
+        ts, (ms, rs) = scan_steps(body, ts, keys)
         # rewards accumulate over the epoch (`search_dg.py:161`), then
         # normalize (`search_dg.py:214`)
         rewards = normalize_rewards(jnp.sum(rs, axis=0))

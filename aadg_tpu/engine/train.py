@@ -23,6 +23,7 @@ import numpy as np
 
 from .. import utils
 from ..data.datasets import build_dataset, load_train_arrays, load_test_arrays
+from ..parallel.dp import scan_steps
 from ..data.stores import (make_train_store, make_test_store,
                            sample_train_batch)
 from .evaluate import validate
@@ -110,7 +111,7 @@ def run_train(cfg, cfg_path: str):
                     carry, m = step_fn(carry, batch, ks)
                 return carry, m
             keys = jax.random.split(ekey, steps)
-            ts, ms = jax.lax.scan(body, ts, keys)
+            ts, ms = scan_steps(body, ts, keys)
             return ts, jax.tree_util.tree_map(jnp.mean, ms)
 
     begin_epoch = int(cfg.TRAIN.BEGIN_EPOCH)

@@ -30,7 +30,8 @@ import numpy as np
 from flax import linen as nn
 
 from .heads import ClsSeg
-from .layers import ConvModule, adaptive_avg_pool, resize, transform_inputs
+from .layers import (ConvModule, adaptive_avg_pool, bilinear_resize, resize,
+                     transform_inputs)
 
 
 # ---------------------------------------------------------------------------
@@ -38,22 +39,55 @@ from .layers import ConvModule, adaptive_avg_pool, resize, transform_inputs
 # ---------------------------------------------------------------------------
 
 class SelfAttentionBlock(nn.Module):
-    """query/key/value projected attention with optional key pyramid
-    sampling (used by OCR and ANN heads)."""
+    """mmseg ``models/utils/self_attention_block.py``: query/key/value
+    projected attention with optional key/value pyramid sampling (ANN's
+    PPMConcat key_downsample). Faithful to the reference parameterization:
+
+    - ``*_norm=True`` projections are ConvModules — conv+BN+ReLU on EVERY
+      conv, the act applies to the last conv too
+      (`self_attention_block.py:103-126`); ``*_norm=False`` projections
+      are plain biased 1x1 convs;
+    - a plain-conv ``out_project`` is ZERO-initialized
+      (`self_attention_block.py:94-98` ``constant_init``) so residual
+      consumers (ANN) start at identity;
+    - ``with_out=True``: value projects to ``channels`` and
+      ``out_project`` maps to ``out_channels``; ``with_out=False``: value
+      projects straight to ``out_channels`` and there is no out projection
+      (DANet's PAM);
+    - ``share_key_query``: the query reuses the key projection's params
+      (ANN's APNB).
+    """
     channels: int              # key/query channels
     out_channels: int
+    share_key_query: bool = False
     key_query_num_convs: int = 2
     value_out_num_convs: int = 1
+    key_query_norm: bool = True
+    value_out_norm: bool = True
     matmul_norm: bool = True
+    with_out: bool = True
     key_pool_scales: Optional[Tuple[int, ...]] = None  # ANN pyramid sampling
     axis_name: Optional[str] = None
 
-    def _project(self, x, features, num_convs, name, train):
+    def _make_project(self, features, num_convs, use_conv_module, name,
+                      zero_init=False):
+        mods = []
         for i in range(num_convs):
-            last = i == num_convs - 1
-            x = ConvModule(features, 1, act=None if last else "relu",
-                           axis_name=self.axis_name,
-                           name=f"{name}_{i}")(x, train)
+            if use_conv_module:
+                mods.append(ConvModule(features, 1,
+                                       axis_name=self.axis_name,
+                                       name=f"{name}_{i}"))
+            else:
+                kinit = (nn.initializers.zeros if zero_init
+                         else nn.initializers.lecun_normal())
+                mods.append(nn.Conv(features, (1, 1), kernel_init=kinit,
+                                    name=f"{name}_{i}"))
+        return mods
+
+    @staticmethod
+    def _apply(mods, x, train):
+        for m in mods:
+            x = m(x, train) if isinstance(m, ConvModule) else m(x)
         return x
 
     def _pyramid(self, x):
@@ -70,12 +104,18 @@ class SelfAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, query_feats, key_feats, train: bool = True):
         b, h, w, _ = query_feats.shape
-        q = self._project(query_feats, self.channels,
-                          self.key_query_num_convs, "query_project", train)
-        k = self._project(key_feats, self.channels,
-                          self.key_query_num_convs, "key_project", train)
-        v = self._project(key_feats, self.channels,
-                          self.value_out_num_convs, "value_project", train)
+        key_mods = self._make_project(
+            self.channels, self.key_query_num_convs, self.key_query_norm,
+            "key_project")
+        query_mods = key_mods if self.share_key_query else \
+            self._make_project(self.channels, self.key_query_num_convs,
+                               self.key_query_norm, "query_project")
+        value_mods = self._make_project(
+            self.channels if self.with_out else self.out_channels,
+            self.value_out_num_convs, self.value_out_norm, "value_project")
+        q = self._apply(query_mods, query_feats, train)
+        k = self._apply(key_mods, key_feats, train)
+        v = self._apply(value_mods, key_feats, train)
         q = q.reshape(b, h * w, self.channels)
         k = self._pyramid(k)
         v = self._pyramid(v)
@@ -84,9 +124,13 @@ class SelfAttentionBlock(nn.Module):
             sim = sim * (self.channels ** -0.5)
         attn = jax.nn.softmax(sim, axis=-1)
         ctx = jnp.einsum("bqk,bkc->bqc", attn, v)
-        ctx = ctx.reshape(b, h, w, self.channels)
-        return self._project(ctx, self.out_channels,
-                             self.value_out_num_convs, "out_project", train)
+        ctx = ctx.reshape(b, h, w, -1)
+        if self.with_out:
+            out_mods = self._make_project(
+                self.out_channels, self.value_out_num_convs,
+                self.value_out_norm, "out_project", zero_init=True)
+            ctx = self._apply(out_mods, ctx, train)
+        return ctx
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +278,13 @@ class CCHead(_FCNContextHead):
 class ANNHead(nn.Module):
     """`ann_head.py` (ANN): AFNB fuses low- (c3) and high-level (c4)
     features with pyramid-sampled keys, then a bottleneck and APNB
-    self-attention."""
+    self-attention. Faithful structure: AFNB/APNB are concat+1x1-bottleneck
+    blocks (`ann_head.py:125-131,176-181` — NOT residual adds), APNB shares
+    the key/query projection (`ann_head.py:161` share_key_query=True), both
+    use plain-conv value and ZERO-initialized plain-conv out projections
+    (`ann_head.py:70-73` value_out_norm=False +
+    `self_attention_block.py:94-98`), and the head applies its dropout
+    between AFNB and the bottleneck too (`ann_head.py:240`)."""
     num_classes: int
     channels: int = 512
     project_channels: int = 256
@@ -247,26 +297,35 @@ class ANNHead(nn.Module):
     @nn.compact
     def __call__(self, inputs, train: bool = True):
         low, high = [inputs[i] for i in self.in_index]
-        # AFNB: query from high, key/value pyramid from low; residual.
-        fused = high + ConvModule(
-            high.shape[-1], 1, act=None, axis_name=self.axis_name,
-            name="afnb_out")(
-            SelfAttentionBlock(self.project_channels, high.shape[-1],
-                               key_query_num_convs=1, matmul_norm=False,
-                               key_pool_scales=self.key_pool_scales,
-                               axis_name=self.axis_name, name="afnb")(
-                high, low, train), train)
+        # query_scale > 1 is broken in the reference (the context reshape
+        # assumes the un-downsampled query grid,
+        # self_attention_block.py:157-159); configs only use (1,).
+        assert all(s == 1 for s in self.query_scales), self.query_scales
+        # AFNB: query from high, key/value pyramid from low.
+        priors = [SelfAttentionBlock(
+            self.project_channels, high.shape[-1], key_query_num_convs=1,
+            value_out_norm=False, key_pool_scales=self.key_pool_scales,
+            axis_name=self.axis_name, name=f"afnb_{i}")(high, low, train)
+            for i in range(len(self.query_scales))]
+        fused = ConvModule(high.shape[-1], 1, act=None,
+                           axis_name=self.axis_name,
+                           name="afnb_bottleneck")(
+            jnp.concatenate([sum(priors), high], -1), train)
+        if self.dropout_ratio > 0:
+            fused = nn.Dropout(self.dropout_ratio)(
+                fused, deterministic=not train)
         x = ConvModule(self.channels, 3, axis_name=self.axis_name,
                        name="bottleneck")(fused, train)
-        # APNB: self-attention with pyramid keys; residual.
-        x = x + ConvModule(
-            self.channels, 1, act=None, axis_name=self.axis_name,
-            name="apnb_out")(
-            SelfAttentionBlock(self.project_channels, self.channels,
-                               key_query_num_convs=1, matmul_norm=False,
-                               key_pool_scales=self.key_pool_scales,
-                               axis_name=self.axis_name, name="apnb")(
-                x, x, train), train)
+        # APNB: shared-key/query self-attention with pyramid keys.
+        priors = [SelfAttentionBlock(
+            self.project_channels, self.channels, share_key_query=True,
+            key_query_num_convs=1, value_out_norm=False,
+            key_pool_scales=self.key_pool_scales,
+            axis_name=self.axis_name, name=f"apnb_{i}")(x, x, train)
+            for i in range(len(self.query_scales))]
+        x = ConvModule(self.channels, 1, axis_name=self.axis_name,
+                       name="apnb_bottleneck")(
+            jnp.concatenate([sum(priors), x], -1), train)
         return ClsSeg(self.num_classes, self.dropout_ratio,
                       name="cls")(x, train)
 
@@ -392,13 +451,33 @@ class EMAHead(nn.Module):
     """`ema_head.py`: expectation-maximization attention. Bases live in the
     ``batch_stats`` collection; the training-time momentum update uses
     `lax.pmean` over the data axis where the reference all-reduces
-    (`ema_head.py:13-20`)."""
+    (`ema_head.py:13-20`).
+
+    Numeric fidelity (`ema_head.py:44-76,154-169`):
+
+    - The whole EM module is non-differentiable w.r.t. its input — the EM
+      loop AND the final attention run under ``torch.no_grad()``, and the
+      reconstruction reuses the attention from the TOP of the last EM
+      iteration (pre-final-base-update), so we ``stop_gradient`` both and
+      never recompute attention outside it. This also reproduces the
+      reference's frozen ``ema_mid_conv`` (`ema_head.py:126-127`): with the
+      recon fully detached, the mid conv's only consumer carries no
+      gradient, so its params receive exactly zero grad — no optimizer
+      masking needed.
+    - The momentum update L2-renormalizes the cross-replica-meaned bases
+      BEFORE the EMA blend (`ema_head.py:68-73`) so stored bases stay on
+      the unit sphere.
+    - ``concat_input=True`` (the mmseg EMANet config default) appends the
+      reference's ``conv_cat`` over ``[x, bottleneck_out]``
+      (`ema_head.py:144-152,165-166`).
+    """
     num_classes: int
     channels: int = 512
     ema_channels: int = 256
     num_bases: int = 64
     num_stages: int = 3
     momentum: float = 0.1
+    concat_input: bool = True
     in_index: Any = -1
     input_transform: Optional[str] = None
     dropout_ratio: float = 0.1
@@ -421,25 +500,32 @@ class EMAHead(nn.Module):
                                       jax.random.PRNGKey(0),
                                       c, self.num_bases))
         bases = jnp.broadcast_to(bases_var.value, (b, c, self.num_bases))
-        # EM iterations run without gradient (`ema_head.py:52-63`)
+        # EM iterations run without gradient (`ema_head.py:52-63`); the
+        # returned attention is the one computed at the TOP of the final
+        # iteration — the reference's loop leaves `attention` holding that
+        # value when it computes the reconstruction (`ema_head.py:65`).
         def em(bases):
+            attn = None
             for _ in range(self.num_stages):
                 attn = jax.nn.softmax(
                     jnp.einsum("bnc,bck->bnk", flat, bases), axis=2)
-                attn = attn / jnp.maximum(
+                attn_normed = attn / jnp.maximum(
                     jnp.sum(attn, axis=1, keepdims=True), 1e-12)
-                bases = jnp.einsum("bnc,bnk->bck", flat, attn)
+                bases = jnp.einsum("bnc,bnk->bck", flat, attn_normed)
                 bases = bases / jnp.maximum(
                     jnp.linalg.norm(bases, axis=1, keepdims=True), 1e-12)
-            return bases
-        bases = jax.lax.stop_gradient(em(bases))
-        attn = jax.nn.softmax(
-            jnp.einsum("bnc,bck->bnk", flat, bases), axis=2)
+            return bases, attn
+        bases, attn = jax.lax.stop_gradient(em(bases))
         recon = jnp.einsum("bnk,bck->bnc", attn, bases)
         if train and not self.is_initializing():
             mean_bases = jnp.mean(bases, axis=0)
             if self.axis_name is not None:
                 mean_bases = jax.lax.pmean(mean_bases, self.axis_name)
+            # l2-renormalize the reduced mean BEFORE the EMA blend
+            # (`ema_head.py:71-72`) — keeps the stored bases on the unit
+            # sphere instead of drifting toward shorter vectors
+            mean_bases = mean_bases / jnp.maximum(
+                jnp.linalg.norm(mean_bases, axis=0, keepdims=True), 1e-12)
             bases_var.value = ((1 - self.momentum) * bases_var.value
                                + self.momentum * mean_bases)
         recon = nn.relu(recon.reshape(b, h, w, c))
@@ -449,6 +535,10 @@ class EMAHead(nn.Module):
         feats = nn.relu(identity + recon)
         feats = ConvModule(self.channels, 3, axis_name=self.axis_name,
                            name="bottleneck")(feats, train)
+        if self.concat_input:
+            feats = ConvModule(self.channels, 3, axis_name=self.axis_name,
+                               name="conv_cat")(
+                jnp.concatenate([x, feats], axis=-1), train)
         return ClsSeg(self.num_classes, self.dropout_ratio,
                       name="cls")(feats, train)
 
@@ -563,64 +653,113 @@ def psa_mask_attention(logits: jnp.ndarray, mask_size: Tuple[int, int],
 
 
 class PSAHead(nn.Module):
-    """`psa_head.py` (PSANet): bi-directional point-wise spatial attention.
+    """`psa_head.py` (PSANet): point-wise spatial attention, faithful to
+    the reference's full surface:
 
-    ``compact=True`` (default) is the reference's compact/global form: the
-    PSAMask CUDA op becomes a dense attention matmul over the full feature
-    map (collect softmaxes over source positions, distribute over target
-    positions). ``compact=False`` with ``mask_size`` is the mmcv default
-    local form: the attention conv emits ``mask_h*mask_w`` relative-offset
-    channels which :func:`psa_mask_attention` scatters into the dense
-    (windowed, zero-filled) source->target matrix before the dim-1 softmax
-    — matching `psa_head.py:139-186` + the mmcv ``psa_mask`` kernels."""
+    - ``psa_type`` in {'collect', 'distribute', 'bi-direction'} (default
+      bi-direction = both branches concatenated, `psa_head.py:147-188`);
+    - ``shrink_factor``: the reduced maps are bilinear-downscaled before
+      attention; when H and W are BOTH non-divisible the reference rounds
+      up and flips to align_corners=True for every later resize
+      (`psa_head.py:121-134` — quirk kept);
+    - ``compact``: the attention conv's h*w channels are read directly as
+      the (source, target) matrix — position p's channel r is the logit
+      for (source p, target r), softmaxed over sources
+      (`psa_head.py:136-140,173-176`; applies to the collect branch alone
+      or the distribute branch of bi-direction). Non-compact scatters the
+      mask_h*mask_w relative-offset channels through
+      :func:`psa_mask_attention` (the mmcv PSAMask CUDA op as one-hot
+      einsums);
+    - the ``proj`` ConvModule is a 1x1 conv with padding=1 — the output
+      grows by a 2-pixel ring before being resized back onto the identity
+      grid (`psa_head.py:97-103,189-195` — reference quirk, kept);
+    - out = feat · attn then /normalization_factor (None -> mask_h*mask_w,
+      `psa_head.py:53-55`).
+    """
     num_classes: int
     channels: int = 512
+    mask_size: Tuple[int, int] = (97, 97)
+    psa_type: str = "bi-direction"
+    compact: bool = False
+    shrink_factor: int = 2
+    psa_softmax: bool = True
+    normalization_factor: Optional[float] = 1.0
     in_index: Any = -1
     input_transform: Optional[str] = None
     dropout_ratio: float = 0.1
-    compact: bool = True
-    mask_size: Optional[Tuple[int, int]] = None
-    psa_softmax: bool = True
-    normalization_factor: float = 1.0
     axis_name: Optional[str] = None
+
+    def _attend(self, y, a, dirn, compact):
+        """feat y (b,h,w,c) x attention logits a -> attended feats."""
+        b, h, w, c = y.shape
+        if compact:
+            # NHWC reshape lands directly on the reference's post-transpose
+            # (position, channel) = (source, target) layout
+            attn = a.reshape(b, h * w, h * w)
+        else:
+            attn = psa_mask_attention(a, self.mask_size, dirn)
+        if self.psa_softmax:
+            attn = jax.nn.softmax(attn, axis=1)  # over sources s
+        norm = self.normalization_factor
+        if norm is None:
+            norm = float(self.mask_size[0] * self.mask_size[1])
+        # out[t] = sum_s feat[s] * attn[s, t]   (psa_head.py:143-145)
+        out = jnp.einsum("bst,bsc->btc", attn, y.reshape(b, h * w, c))
+        return (out * (1.0 / norm)).reshape(b, h, w, c)
 
     @nn.compact
     def __call__(self, inputs, train: bool = True):
+        assert self.psa_type in ("collect", "distribute", "bi-direction")
         x = transform_inputs(inputs, self.in_index, self.input_transform)
         identity = x
-        local = not self.compact
-        if local and self.mask_size is None:
-            raise ValueError("PSAHead(compact=False) requires mask_size")
-        outs = []
-        for dirn, axis in (("collect", -1), ("distribute", -2)):
+        align_corners = False
+        dirns = (("collect", "distribute")
+                 if self.psa_type == "bi-direction" else (self.psa_type,))
+        n_attn = self.mask_size[0] * self.mask_size[1]
+        reduced = []
+        for dirn in dirns:
             y = ConvModule(self.channels, 1, axis_name=self.axis_name,
                            name=f"reduce_{dirn}")(x, train)
-            b, h, w, c = y.shape
+            reduced.append(y)
+        b, h, w, _ = reduced[0].shape
+        if self.shrink_factor != 1:
+            if h % self.shrink_factor and w % self.shrink_factor:
+                h = (h - 1) // self.shrink_factor + 1
+                w = (w - 1) // self.shrink_factor + 1
+                align_corners = True
+            else:
+                h = h // self.shrink_factor
+                w = w // self.shrink_factor
+                align_corners = False
+            reduced = [bilinear_resize(y, (h, w), align_corners)
+                       for y in reduced]
+        outs = []
+        for dirn, y in zip(dirns, reduced):
             a = ConvModule(self.channels, 1, axis_name=self.axis_name,
                            name=f"attention_{dirn}_0")(y, train)
-            n_attn = (self.mask_size[0] * self.mask_size[1] if local
-                      else h * w)
             a = nn.Conv(n_attn, (1, 1), use_bias=False,
                         name=f"attention_{dirn}_1")(a)
-            if local:
-                attn = psa_mask_attention(a, self.mask_size, dirn)
-                if self.psa_softmax:
-                    attn = jax.nn.softmax(attn, axis=1)  # over sources s
-                # out[t] = sum_s feat[s] * attn[s, t]   (psa_head.py:143-145)
-                out = jnp.einsum("bst,bsc->btc", attn,
-                                 y.reshape(b, h * w, c))
-                out = out * (1.0 / self.normalization_factor)
-                outs.append(out.reshape(b, h, w, c))
-                continue
-            a = jax.nn.softmax(a.reshape(b, h * w, h * w), axis=axis)
-            outs.append(jnp.einsum(
-                "bqk,bkc->bqc", a, y.reshape(b, h * w, c)).reshape(
-                b, h, w, c))
-        y = ConvModule(identity.shape[-1], 1, axis_name=self.axis_name,
-                       name="proj")(jnp.concatenate(outs, -1), train)
+            # compact applies to the single collect branch, or to the
+            # distribute branch of bi-direction (psa_head.py:136-139,172-176)
+            compact = self.compact and (
+                dirn == ("distribute" if self.psa_type == "bi-direction"
+                         else "collect"))
+            if compact:
+                assert n_attn == h * w, (
+                    f"compact PSA needs mask_size == shrunk grid "
+                    f"({self.mask_size} vs {(h, w)})")
+            outs.append(self._attend(y, a, dirn, compact))
+        out = jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
+        # reference proj: 1x1 ConvModule with padding=1 -> +2-pixel ring,
+        # resized back onto the identity grid (quirk kept for parity)
+        out = jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = ConvModule(identity.shape[-1], 1, axis_name=self.axis_name,
+                         name="proj")(out, train)
+        out = bilinear_resize(out, (identity.shape[1], identity.shape[2]),
+                              align_corners)
         feats = ConvModule(self.channels, 3, axis_name=self.axis_name,
                            name="bottleneck")(
-            jnp.concatenate([identity, y], -1), train)
+            jnp.concatenate([identity, out], -1), train)
         return ClsSeg(self.num_classes, self.dropout_ratio,
                       name="cls")(feats, train)
 

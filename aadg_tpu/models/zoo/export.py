@@ -47,6 +47,11 @@ def make_serving_fn(model, variables, mode: str = "whole",
     MXU-native serving (argmax outputs only flip on near-tie pixels)."""
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
+    if mode == "slide":
+        # fail at build time with a clear message, not an unpack TypeError
+        # inside slide_inference at trace time (mirrors api._runner's guard)
+        assert crop is not None and stride is not None, \
+            "mode='slide' requires crop=(h, w) and stride=(h, w)"
     if dtype is not None:
         variables = cast_variables(variables, dtype)
 

@@ -15,11 +15,58 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def resize(x: jnp.ndarray, size: Tuple[int, int],
-           method: str = "bilinear") -> jnp.ndarray:
-    """Bilinear resize to (H, W), align_corners=False semantics."""
+def _interp_matrix(n_in: int, n_out: int, align_corners: bool):
+    """(n_out, n_in) bilinear interpolation matrix with torch
+    F.interpolate semantics — NO antialiasing on downscale (torch default),
+    half-pixel centers (align_corners=False) or endpoint-pinned
+    (align_corners=True) source coordinates."""
+    import numpy as np
+    if n_out == n_in:
+        return np.eye(n_out, dtype=np.float32)
+    if align_corners and n_out > 1:
+        src = np.linspace(0.0, n_in - 1.0, n_out)
+    else:
+        src = np.clip((np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5,
+                      0.0, n_in - 1.0)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (src - lo).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), lo] += 1.0 - frac
+    m[np.arange(n_out), hi] += frac
+    return m
+
+
+def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int],
+                    align_corners: bool = False) -> jnp.ndarray:
+    """torch ``F.interpolate(mode='bilinear')`` for NHWC, as two separable
+    interpolation matmuls (MXU work, no gathers). Unlike
+    ``jax.image.resize`` this does NOT antialias on downscale — matching
+    mmseg's ``resize`` (`/root/reference/models/mmseg/ops/wrappers.py`)
+    exactly in both directions, and supports ``align_corners=True``."""
     if x.shape[1] == size[0] and x.shape[2] == size[1]:
         return x
+    wh = jnp.asarray(_interp_matrix(x.shape[1], size[0], align_corners),
+                     dtype=x.dtype)
+    ww = jnp.asarray(_interp_matrix(x.shape[2], size[1], align_corners),
+                     dtype=x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", wh, x)
+    return jnp.einsum("pw,bowc->bopc", ww, x)
+
+
+def resize(x: jnp.ndarray, size: Tuple[int, int],
+           method: str = "bilinear") -> jnp.ndarray:
+    """Bilinear resize to (H, W), align_corners=False semantics.
+
+    Upscaling uses ``jax.image.resize`` (identical to torch
+    align_corners=False there); downscaling routes through
+    :func:`bilinear_resize` because ``jax.image.resize`` antialiases on
+    downscale and torch/mmseg do not."""
+    if x.shape[1] == size[0] and x.shape[2] == size[1]:
+        return x
+    if method == "bilinear" and (size[0] < x.shape[1]
+                                 or size[1] < x.shape[2]):
+        return bilinear_resize(x, size, align_corners=False)
     return jax.image.resize(
         x, (x.shape[0], size[0], size[1], x.shape[-1]), method=method
     ).astype(x.dtype)

@@ -38,24 +38,109 @@ def _assemble(dataset, idxs: Sequence[int]):
     return jnp.asarray(x), jnp.asarray(y)
 
 
+def poly_lr(base_lr: float, max_iters: int, power: float = 0.9,
+            min_lr: float = 1e-4):
+    """mmcv ``PolyLrUpdaterHook`` (by_epoch=False), the mmseg default LR
+    policy: ``lr = (base - min) * (1 - iter/max_iters)**power + min``."""
+    def schedule(count):
+        coeff = (1.0 - count / max_iters) ** power
+        return (base_lr - min_lr) * coeff + min_lr
+    return schedule
+
+
+def build_optimizer(optimizer: Optional[dict] = None,
+                    lr_config: Optional[dict] = None,
+                    max_iters: int = 100):
+    """mmseg-config-convention optimizer + LR policy -> optax transform.
+
+    ``optimizer``: mmseg dict, e.g. ``dict(type='SGD', lr=0.01,
+    momentum=0.9, weight_decay=0.0005)`` (the zoo configs' default) or
+    ``dict(type='Adam', lr=...)`` — built by mmcv's ``build_optimizer``
+    from ``cfg.optimizer`` (`/root/reference/models/mmseg/apis/train.py:71`).
+    torch-SGD semantics: weight decay is added to the gradient BEFORE the
+    momentum buffer, and the lr scales the buffered update.
+
+    ``lr_config``: ``dict(policy='poly', power=0.9, min_lr=1e-4)`` (the
+    mmseg schedules' default, registered via
+    ``runner.register_training_hooks(cfg.lr_config, ...)``) or None for a
+    constant lr.
+
+    Returns ``(tx, schedule_fn)``.
+    """
+    import optax
+
+    opt = dict(optimizer or {"type": "Adam", "lr": 1e-3})
+    kind = opt.pop("type")
+    base_lr = float(opt.pop("lr"))
+    if lr_config is not None:
+        c = dict(lr_config)
+        policy = c.pop("type", None) or c.pop("policy")
+        assert policy == "poly", f"unsupported lr policy {policy}"
+        schedule = poly_lr(base_lr, max_iters, power=c.pop("power", 0.9),
+                           min_lr=c.pop("min_lr", 1e-4))
+        assert not c.pop("by_epoch", False), "by_epoch poly not supported"
+        assert not c, f"unknown lr_config keys {c}"
+    else:
+        schedule = lambda count: base_lr  # noqa: E731
+    if kind == "SGD":
+        momentum = float(opt.pop("momentum", 0.0))
+        wd = float(opt.pop("weight_decay", 0.0))
+        assert not opt, f"unknown optimizer keys {opt}"
+        parts = []
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        if momentum:
+            parts.append(optax.trace(decay=momentum, nesterov=False))
+        parts.append(optax.scale_by_learning_rate(schedule))
+        tx = optax.chain(*parts)
+    elif kind == "Adam":
+        wd = float(opt.pop("weight_decay", 0.0))
+        assert not opt, f"unknown optimizer keys {opt}"
+        parts = [optax.scale_by_adam(eps=1e-8)]
+        if wd:
+            parts.insert(0, optax.add_decayed_weights(wd))
+        parts.append(optax.scale_by_learning_rate(schedule))
+        tx = optax.chain(*parts)
+    else:
+        raise ValueError(f"unsupported optimizer type {kind}")
+    return tx, schedule
+
+
 def train_segmentor(model, dataset, *,
                     max_iters: int = 100,
                     batch_size: int = 2,
                     lr: float = 1e-3,
+                    optimizer: Optional[dict] = None,
+                    lr_config: Optional[dict] = None,
                     ignore_index: int = 255,
                     sampler: Optional[dict] = None,
                     aux_weight: float = 0.4,
                     eval_dataset=None,
                     eval_interval: int = 0,
+                    mesh=None,
                     seed: int = 0,
                     log_fn: Callable[[str], None] = print):
     """Train a zoo segmentor on a pipeline dataset. Returns
     ``(variables, history)`` where history holds per-iter losses and any
     periodic eval dicts.
 
+    ``optimizer`` / ``lr_config``: mmseg config dicts (e.g.
+    ``dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=0.0005)`` +
+    ``dict(policy='poly', power=0.9, min_lr=1e-4)``) built exactly as
+    mmcv's ``build_optimizer`` + ``PolyLrUpdaterHook`` do
+    (`/root/reference/models/mmseg/apis/train.py:71-90`). When omitted,
+    falls back to constant-lr Adam (``lr``).
+
     ``sampler``: mmseg-style dict, e.g. ``dict(type='OHEMPixelSampler',
     thresh=0.7, min_kept=10000)`` — mined per-pixel weights feed the CE
     exactly like ``BaseDecodeHead.losses`` does.
+
+    ``mesh``: a ``jax.sharding.Mesh`` — the TPU-native MMDistributedDataParallel
+    (`apis/train.py:55-68`): each batch is sharded over the mesh's first
+    axis with replicated params; XLA GSPMD computes global-batch losses,
+    gradients and BN statistics, so results are IDENTICAL to single-device
+    (the DDP train-side twin of ``evaluate_segmentor(mesh=)``).
+    ``batch_size`` must be a multiple of the mesh size.
     """
     import optax
 
@@ -86,8 +171,18 @@ def train_segmentor(model, dataset, *,
         variables = model.init(rng, x0, train=True)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
-    tx = optax.adam(lr)
+    if optimizer is None and lr_config is None:
+        optimizer = {"type": "Adam", "lr": lr}
+    tx, _ = build_optimizer(optimizer, lr_config, max_iters)
     opt = tx.init(params)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        assert batch_size % n_dev == 0, (batch_size, n_dev)
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        params, stats, opt = jax.device_put((params, stats, opt), repl)
 
     def seg_loss(logits, y, sampled=True):
         # mmseg applies the sampler weights through weight_reduce_loss with
@@ -150,6 +245,8 @@ def train_segmentor(model, dataset, *,
         idxs = order[cursor: cursor + batch_size]
         cursor += batch_size
         x, y = _assemble(dataset, idxs)
+        if mesh is not None:
+            x, y = jax.device_put((x, y), data_sh)
         rng, krng = jax.random.split(rng)
         params, stats, opt, loss = step(params, stats, opt, x, y, krng)
         history["loss"].append(float(loss))
@@ -168,6 +265,9 @@ def train_segmentor(model, dataset, *,
 
 
 _EVAL_FWD: dict = {}
+_EVAL_FWD_MAX = 8  # bounded FIFO: each entry pins a module + compiled
+# program; a process sweeping many zoo configs must not grow without bound
+# (same pattern as engine/evaluate.py's _EVAL_FWD_CACHE)
 
 
 def _eval_fwd(model):
@@ -184,6 +284,8 @@ def _eval_fwd(model):
             logits, _ = model.apply(v, x, train=False)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         try:
+            if len(_EVAL_FWD) >= _EVAL_FWD_MAX:
+                _EVAL_FWD.pop(next(iter(_EVAL_FWD)))
             _EVAL_FWD[model] = run
         except TypeError:
             pass

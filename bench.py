@@ -44,27 +44,44 @@ _PEAK_BF16 = (
     ("v4", 275e12), ("v3", 123e12), ("v2", 45e12),
 )
 
+# HBM bandwidth per chip, bytes/s (public specs)
+_HBM_BW = (
+    ("v6", 1640e9), ("v5p", 2765e9), ("v5", 819e9),   # v5 lite (v5e)
+    ("v4", 1228e9), ("v3", 900e9), ("v2", 700e9),
+)
 
-def _peak_flops(device) -> float:
+
+def _lookup(device, table) -> float:
     kind = getattr(device, "device_kind", "").lower()
-    for key, peak in _PEAK_BF16:
+    for key, val in table:
         if key in kind:
-            return peak
+            return val
     return 0.0
 
 
-def _program_flops(compiled) -> float:
-    """Total FLOPs of a compiled program per XLA's HloCostAnalysis."""
+def _peak_flops(device) -> float:
+    return _lookup(device, _PEAK_BF16)
+
+
+def _hbm_bw(device) -> float:
+    return _lookup(device, _HBM_BW)
+
+
+def _program_costs(compiled):
+    """(FLOPs, bytes accessed) of a compiled program per XLA's
+    HloCostAnalysis (post-optimization HLO: fusions are costed as fused
+    ops, so 'bytes accessed' approximates real HBM traffic)."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
-def main(scenario: str = "optic"):
+def main(scenario: str = "optic", batch: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -78,7 +95,7 @@ def main(scenario: str = "optic"):
     cfg = load_config()
     cfg.DATASET.NAME = f"synthetic_{scenario}"
     cfg.MODEL.NAME = "deeplabv3+"
-    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.BATCH_SIZE = batch
     cfg.CONTROLLER.M = 6
     cfg.TPU.CROP_SIZE = 256
 
@@ -121,32 +138,51 @@ def main(scenario: str = "optic"):
     float(r)  # force full readback
     dt = (time.time() - t0) / n_iters
 
-    imgs_per_step = cfg.TRAIN.BATCH_SIZE * 3 * M  # 144
+    imgs_per_step = cfg.TRAIN.BATCH_SIZE * 3 * M  # 144 at the B=8 reference
     value = imgs_per_step / dt
 
-    # MFU from a SINGLE-step program: XLA's HloCostAnalysis counts a
-    # while/scan body once regardless of trip count, so cost-analyzing the
-    # scanned epoch would undercount by n_iters. (The Sinkhorn annealing
-    # loop inside the step is likewise counted once — negligible next to
-    # the conv FLOPs.)
+    # MFU + roofline from a SINGLE-step program: XLA's HloCostAnalysis
+    # counts a while/scan body once regardless of trip count, so
+    # cost-analyzing the scanned epoch would undercount by n_iters. (The
+    # Sinkhorn annealing loop inside the step is likewise counted once —
+    # negligible next to the conv FLOPs.)
     @jax.jit
     def one_step(ts, store, ptens, key):
         kb, ks = jax.random.split(key)
         batch = sample_train_batch(store, kb, cfg.TRAIN.BATCH_SIZE)
         return step(ts, batch, ptens, ks)
 
-    flops_per_step = _program_flops(
+    flops_per_step, bytes_per_step = _program_costs(
         one_step.lower(sd, store, ptens, jax.random.PRNGKey(2)).compile())
-    peak = _peak_flops(jax.devices()[0])
+    dev = jax.devices()[0]
+    peak, bw = _peak_flops(dev), _hbm_bw(dev)
     mfu = (flops_per_step / dt) / peak if peak and flops_per_step else 0.0
+    # whole-step roofline: the bandwidth-bound time floor is the compiled
+    # step's total HBM traffic over the chip's HBM bandwidth; the
+    # compute-bound floor is FLOPs over peak. floor_frac = semantic floor /
+    # measured step time, i.e. the fraction of speed-of-light achieved
+    # (1.0 = the step takes exactly its roofline time).
+    floor = 0.0
+    if bw and bytes_per_step:
+        floor = max(floor, bytes_per_step / bw)
+    if peak and flops_per_step:
+        floor = max(floor, flops_per_step / peak)
+    floor_frac = floor / dt if floor else 0.0
 
     prefix = "" if scenario == "optic" else f"{scenario}_"
+    suffix = "" if batch == 8 else f"_b{batch}"
     print(json.dumps({
-        "metric": f"{prefix}search_step_augmented_images_per_sec_per_chip",
+        "metric": (f"{prefix}search_step_augmented_images_per_sec_per_chip"
+                   f"{suffix}"),
         "value": round(value, 2),
         "unit": "img/s",
         "vs_baseline": round(value / REFERENCE_A100_IMG_PER_SEC_ESTIMATE, 3),
         "mfu": round(mfu, 4),
+        "floor_frac": round(floor_frac, 4),
+        "batch": batch,
+        "step_ms": round(dt * 1e3, 3),
+        "step_gbytes": round(bytes_per_step / 1e9, 3),
+        "step_gflops": round(flops_per_step / 1e9, 3),
     }))
 
 
@@ -154,4 +190,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenario", choices=("optic", "rvs"),
                     default="optic")
-    main(ap.parse_args().scenario)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="per-step batch (img load = batch x 3 domains x "
+                         "M=6); default 8 = the reference shape")
+    a = ap.parse_args()
+    main(a.scenario, a.batch)

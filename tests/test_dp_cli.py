@@ -5,8 +5,11 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from aadg_tpu.config import load_config
+
+pytestmark = pytest.mark.heavy  # DP e2e through the CLI orchestrator
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 

@@ -11,6 +11,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # e2e engine runs: big programs, slow cold
+
 from aadg_tpu.config import load_config
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")

@@ -11,7 +11,7 @@ from aadg_tpu.config import load_config
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
-@pytest.mark.slow
+@pytest.mark.heavy
 def test_zoo_model_search_end_to_end(tmp_path):
     from aadg_tpu.engine.search import run_search
     cfg = load_config(os.path.join(FIXTURES, "synthetic_optic.yaml"))

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # whole-epoch DP programs: minutes-to-hours cold
+
 from aadg_tpu.config import load_config
 from aadg_tpu.data.datasets import SyntheticDataset, load_train_arrays
 from aadg_tpu.data.stores import make_train_store, sample_train_batch

@@ -84,11 +84,29 @@ def main():
         t0 = time.time()
         int(c(variables, x))  # forced readback
         dt = (time.time() - t0) / args.iters
+
+        # hardware-grounded columns (same machinery as bench.py): cost
+        # analysis of a SINGLE forward (a scan body is costed once, so the
+        # scanned timing program would undercount by args.iters)
+        from bench import _program_costs, _peak_flops, _hbm_bw
+
+        @jax.jit
+        def one(v, x):
+            logits, _feat = model.apply(v, x, train=False)
+            return jnp.argmax(logits, axis=-1)
+
+        flops, nbytes = _program_costs(one.lower(variables, x).compile())
+        dev = jax.devices()[0]
+        peak, bw = _peak_flops(dev), _hbm_bw(dev)
+        mfu = (flops / dt) / peak if peak and flops else 0.0
+        bw_frac = (nbytes / dt) / bw if bw and nbytes else 0.0
         print(json.dumps({
             "model": name, "batch": args.batch, "size": args.size,
             "dtype": args.dtype or "float32",
             "ms_per_batch": round(dt * 1e3, 2),
-            "img_per_sec": round(args.batch / dt, 1)}))
+            "img_per_sec": round(args.batch / dt, 1),
+            "mfu": round(mfu, 4),
+            "hbm_frac": round(bw_frac, 4)}))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,8 @@ def main():
     from aadg_tpu.models.zoo.api import init_segmentor
     from aadg_tpu.models.zoo.export import export_segmentor
 
+    if len(args.size) not in (1, 2):
+        p.error(f"--size takes 1 or 2 values (H [W]), got {args.size}")
     size = tuple(args.size) if len(args.size) == 2 \
         else (args.size[0], args.size[0])
     model, variables = init_segmentor(
