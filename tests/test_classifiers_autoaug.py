@@ -1,6 +1,9 @@
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # CIFAR classifiers + autoaug e2e: ~110 s
 import jax
 import jax.numpy as jnp
 

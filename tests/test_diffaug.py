@@ -26,6 +26,7 @@ def test_all_ops_preserve_shape_and_range(imgs):
         assert float(out.min()) >= -1e-3 and float(out.max()) <= 1.001, name
 
 
+@pytest.mark.slow  # grad through all 19 relaxed ops: ~12 s host-bound
 def test_gradients_flow_to_policy_params(imgs):
     params = D.init_policy_params(jax.random.PRNGKey(0))
 

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # Pallas interpret mode on CPU: ~100 s
 from jax.experimental.pallas import tpu as pltpu
 
 from aadg_tpu.ops import augment as aug

@@ -25,6 +25,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.slow  # backbone torch oracles: big single compiles, ~2 min
+
 import jax
 import jax.numpy as jnp
 from torch import nn
