@@ -169,9 +169,11 @@ class MixTransformer(nn.Module):
 
 class SegFormerHead(nn.Module):
     """All-MLP decode head: per-stage linear -> upsample to 1/4 -> concat
-    -> 1x1 fuse -> classifier."""
+    -> 1x1 fuse -> dropout -> classifier (`segformer_head.py:64-87`;
+    the dropout is BaseDecodeHead's, ratio 0.1 in the configs)."""
     num_classes: int
     embed_dim: int = 256
+    dropout_ratio: float = 0.1
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -191,6 +193,8 @@ class SegFormerHead(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, axis_name=self.axis_name)(x)
         x = nn.relu(x)
+        if self.dropout_ratio > 0:
+            x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
         return nn.Conv(self.num_classes, (1, 1), name="linear_pred")(x)
 
 

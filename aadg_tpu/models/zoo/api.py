@@ -42,7 +42,10 @@ def init_segmentor(arch: str, backbone: str, num_classes: int,
 
     model, _ = build_segmentor(arch, backbone, num_classes)
     x = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(seed), x, train=False)
+    # jitted: eager init dispatches per-op (a tunnel round trip each on
+    # remote-attached TPUs); conv/BN params are input-size-independent
+    variables = jax.jit(lambda k: model.init(k, x, train=False))(
+        jax.random.PRNGKey(seed))
     if checkpoint:
         with open(checkpoint, "rb") as f:
             variables = serialization.from_bytes(variables, f.read())

@@ -201,7 +201,8 @@ class GCHead(_FCNContextHead):
         ctx = jnp.einsum("bn,bnc->bc", mask, x.reshape(b, -1, c))
         ctx = ctx[:, None, None, :]
         t = nn.Conv(int(c * self.ratio), (1, 1), name="channel_add_0")(ctx)
-        t = nn.LayerNorm(name="channel_add_ln")(t)
+        # torch nn.LayerNorm eps (mmcv ContextBlock uses the default 1e-5)
+        t = nn.LayerNorm(epsilon=1e-5, name="channel_add_ln")(t)
         t = nn.relu(t)
         t = nn.Conv(c, (1, 1), name="channel_add_1")(t)
         return x + t
@@ -424,11 +425,12 @@ class DCM(nn.Module):
 
 class DMHead(nn.Module):
     """`dm_head.py:92-140`: pyramid of DCMs (filters 1,3,5,7) + 3x3
-    bottleneck."""
+    bottleneck. ``fusion=False`` is the reference default
+    (`dm_head.py:106`; the mmseg dmnet configs don't override it)."""
     num_classes: int
     channels: int = 512
     filter_sizes: Tuple[int, ...] = (1, 3, 5, 7)
-    fusion: bool = True
+    fusion: bool = False
     in_index: Any = -1
     input_transform: Optional[str] = None
     dropout_ratio: float = 0.1
@@ -791,24 +793,41 @@ class EncHead(nn.Module):
                               name="fusion")(
                 jnp.concatenate([feat] + laterals, -1), train)
         b, h, w, c = feat.shape
-        # encoding: soft-assign residuals to codewords
+        # EncModule (`enc_head.py:11-58`): a 1x1 projection feeds the
+        # Encoding layer; the gate output is relu(x + x*gamma) on the
+        # UN-projected feat.
+        proj = ConvModule(c, 1, axis_name=self.axis_name,
+                          name="encoding_project")(feat, train)
+        # Encoding layer (`ops/encoding.py`): scaled-L2 soft assignment of
+        # per-pixel residuals to learned codewords. torch inits: codewords
+        # uniform(-std, std) with std = (K*C)^-0.5; scale uniform(-1, 0) —
+        # NEGATIVE, so `scale * ||resid||^2` is a similarity. Sign
+        # convention kept so converted torch weights drop straight in.
+        std = 1.0 / (self.num_codes * c) ** 0.5
         codewords = self.param(
-            "codewords", nn.initializers.uniform(scale=1.0 / c ** 0.5),
-            (self.num_codes, c))
-        scale = self.param("scale", nn.initializers.uniform(scale=1.0),
-                           (self.num_codes,))
-        flat = feat.reshape(b, h * w, c)
+            "codewords",
+            lambda key: jax.random.uniform(key, (self.num_codes, c),
+                                           minval=-std, maxval=std))
+        scale = self.param(
+            "scale",
+            lambda key: jax.random.uniform(key, (self.num_codes,),
+                                           minval=-1.0, maxval=0.0))
+        flat = proj.reshape(b, h * w, c)
         resid = flat[:, :, None, :] - codewords[None, None]   # (b,n,K,c)
-        dist = jnp.sum(resid ** 2, -1) * (-scale)[None, None]
+        dist = jnp.sum(resid ** 2, -1) * scale[None, None]
         assign = jax.nn.softmax(dist, axis=2)                 # (b,n,K)
         encoded = jnp.einsum("bnk,bnkc->bkc", assign, resid)  # (b,K,c)
+        # torch BN1d on (b, K, C) normalizes over the CODE axis
+        # (`enc_head.py:43-46` build_norm_layer(..., num_codes))
         encoded = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, axis_name=self.axis_name,
+                               epsilon=1e-5, axis=1,
+                               axis_name=self.axis_name,
                                name="enc_bn")(encoded)
         encoded = nn.relu(encoded)
         enc_feat = jnp.mean(encoded, axis=1)                  # (b,c)
         gamma = nn.sigmoid(nn.Dense(c, name="fc")(enc_feat))
-        out = feat * gamma[:, None, None, :]
+        # `enc_head.py:57`: output = relu_(x + x * y)
+        out = nn.relu(feat + feat * gamma[:, None, None, :])
         return out, enc_feat
 
     @nn.compact

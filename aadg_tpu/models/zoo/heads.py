@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -313,11 +314,20 @@ class LRASPPHead(nn.Module):
         xs = [inputs[i] for i in self.in_index]
         x = xs[-1]
         size = (x.shape[1], x.shape[2])
-        # the reference uses AvgPool2d(49, stride=(16,20)) on 512-ish inputs;
-        # global pooling is the shape-robust equivalent of its gating branch
-        gate = adaptive_avg_pool(x, 1)
-        gate = ConvModule(self.channels, 1, act="sigmoid",
-                          axis_name=self.axis_name,
+        # reference gate branch (`lraspp_head.py:59-66`): AvgPool2d(49,
+        # stride=(16, 20)) — a SLIDING pooled gate, not a global one — then
+        # a norm-free sigmoid 1x1 conv, bilinear-resized back. torch
+        # AvgPool2d errors when the grid is smaller than the kernel (the
+        # mmseg config pairs this head with Cityscapes-scale inputs);
+        # there we fall back to global pooling, the k>=grid limit.
+        if x.shape[1] >= 49 and x.shape[2] >= 49:
+            gate = jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, 49, 49, 1), (1, 16, 20, 1),
+                "valid") / float(49 * 49)
+        else:
+            gate = adaptive_avg_pool(x, 1)
+        gate = ConvModule(self.channels, 1, act="sigmoid", norm=False,
+                          use_bias=False, axis_name=self.axis_name,
                           name="image_pool")(gate, train)
         x = ConvModule(self.channels, 1, axis_name=self.axis_name,
                        name="aspp_conv")(x, train) * resize(gate, size)

@@ -39,18 +39,41 @@ def _assemble(dataset, idxs: Sequence[int]):
 
 
 def poly_lr(base_lr: float, max_iters: int, power: float = 0.9,
-            min_lr: float = 1e-4):
+            min_lr: float = 1e-4, warmup: Optional[str] = None,
+            warmup_iters: int = 0, warmup_ratio: float = 0.1):
     """mmcv ``PolyLrUpdaterHook`` (by_epoch=False), the mmseg default LR
-    policy: ``lr = (base - min) * (1 - iter/max_iters)**power + min``."""
+    policy: ``lr = (base - min) * (1 - iter/max_iters)**power + min``,
+    with mmcv's warmup surface (``LrUpdaterHook.get_warmup_lr``): during
+    the first ``warmup_iters`` the regular lr is scaled by
+
+    - ``constant``: ``warmup_ratio``
+    - ``linear``:   ``1 - (1 - iter/warmup_iters) * (1 - warmup_ratio)``
+    - ``exp``:      ``warmup_ratio ** (1 - iter/warmup_iters)``
+
+    (the SegFormer schedules use ``warmup='linear', warmup_iters=1500,
+    warmup_ratio=1e-6``)."""
+    assert warmup in (None, "constant", "linear", "exp"), warmup
+
     def schedule(count):
         coeff = (1.0 - count / max_iters) ** power
-        return (base_lr - min_lr) * coeff + min_lr
+        lr = (base_lr - min_lr) * coeff + min_lr
+        if warmup is not None and warmup_iters > 0:
+            frac = jnp.minimum(count / warmup_iters, 1.0)
+            if warmup == "constant":
+                k = jnp.where(count < warmup_iters, warmup_ratio, 1.0)
+            elif warmup == "linear":
+                k = 1.0 - (1.0 - frac) * (1.0 - warmup_ratio)
+            else:  # exp
+                k = warmup_ratio ** (1.0 - frac)
+            lr = lr * k
+        return lr
     return schedule
 
 
 def build_optimizer(optimizer: Optional[dict] = None,
                     lr_config: Optional[dict] = None,
-                    max_iters: int = 100):
+                    max_iters: int = 100,
+                    optimizer_config: Optional[dict] = None):
     """mmseg-config-convention optimizer + LR policy -> optax transform.
 
     ``optimizer``: mmseg dict, e.g. ``dict(type='SGD', lr=0.01,
@@ -62,8 +85,14 @@ def build_optimizer(optimizer: Optional[dict] = None,
 
     ``lr_config``: ``dict(policy='poly', power=0.9, min_lr=1e-4)`` (the
     mmseg schedules' default, registered via
-    ``runner.register_training_hooks(cfg.lr_config, ...)``) or None for a
-    constant lr.
+    ``runner.register_training_hooks(cfg.lr_config, ...)``), optionally
+    with mmcv warmup keys (``warmup='linear', warmup_iters, warmup_ratio``)
+    or None for a constant lr.
+
+    ``optimizer_config``: mmcv ``OptimizerHook`` config —
+    ``dict(grad_clip=dict(max_norm=35, norm_type=2))`` applies
+    ``clip_grad_norm_`` (global-norm clipping) to the gradients BEFORE the
+    optimizer update, exactly where the hook runs it.
 
     Returns ``(tx, schedule_fn)``.
     """
@@ -77,16 +106,29 @@ def build_optimizer(optimizer: Optional[dict] = None,
         policy = c.pop("type", None) or c.pop("policy")
         assert policy == "poly", f"unsupported lr policy {policy}"
         schedule = poly_lr(base_lr, max_iters, power=c.pop("power", 0.9),
-                           min_lr=c.pop("min_lr", 1e-4))
+                           min_lr=c.pop("min_lr", 1e-4),
+                           warmup=c.pop("warmup", None),
+                           warmup_iters=c.pop("warmup_iters", 0),
+                           warmup_ratio=c.pop("warmup_ratio", 0.1))
         assert not c.pop("by_epoch", False), "by_epoch poly not supported"
         assert not c, f"unknown lr_config keys {c}"
     else:
         schedule = lambda count: base_lr  # noqa: E731
+    clip = None
+    if optimizer_config:
+        oc = dict(optimizer_config)
+        gc = oc.pop("grad_clip", None)
+        assert not oc, f"unknown optimizer_config keys {oc}"
+        if gc is not None:
+            gc = dict(gc)
+            assert gc.pop("norm_type", 2) == 2, "only L2 grad_clip"
+            clip = optax.clip_by_global_norm(float(gc.pop("max_norm")))
+            assert not gc, f"unknown grad_clip keys {gc}"
     if kind == "SGD":
         momentum = float(opt.pop("momentum", 0.0))
         wd = float(opt.pop("weight_decay", 0.0))
         assert not opt, f"unknown optimizer keys {opt}"
-        parts = []
+        parts = [clip] if clip is not None else []
         if wd:
             parts.append(optax.add_decayed_weights(wd))
         if momentum:
@@ -99,11 +141,48 @@ def build_optimizer(optimizer: Optional[dict] = None,
         parts = [optax.scale_by_adam(eps=1e-8)]
         if wd:
             parts.insert(0, optax.add_decayed_weights(wd))
+        if clip is not None:
+            parts.insert(0, clip)
         parts.append(optax.scale_by_learning_rate(schedule))
         tx = optax.chain(*parts)
     else:
         raise ValueError(f"unsupported optimizer type {kind}")
     return tx, schedule
+
+
+def _batch_indices(n: int, batch_size: int, it: int, seed: int):
+    """Deterministic shuffled batch for iteration ``it``: a fresh
+    seed-keyed permutation per epoch, tail dropped (mmcv dataloader
+    ``drop_last=True``, `apis/train.py:50`). Pure function of (it, seed)
+    so ``resume_from`` replays the exact data stream."""
+    bpe = max(1, n // batch_size)
+    epoch, within = divmod(it, bpe)
+    order = np.random.default_rng((seed, epoch)).permutation(n)
+    return order[within * batch_size: within * batch_size + batch_size]
+
+
+def _save_train_state(path: str, params, stats, opt, it: int) -> None:
+    from flax import serialization
+    blob = serialization.msgpack_serialize(
+        {"params": serialization.to_state_dict(params),
+         "batch_stats": serialization.to_state_dict(stats),
+         "opt": serialization.to_state_dict(opt),
+         "iter": np.int64(it)})
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    import os
+    os.replace(tmp, path)
+
+
+def _load_train_state(path: str, params, stats, opt):
+    from flax import serialization
+    with open(path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(params, blob["params"])
+    stats = serialization.from_state_dict(stats, blob["batch_stats"])
+    opt = serialization.from_state_dict(opt, blob["opt"])
+    return params, stats, opt, int(blob["iter"])
 
 
 def train_segmentor(model, dataset, *,
@@ -112,6 +191,7 @@ def train_segmentor(model, dataset, *,
                     lr: float = 1e-3,
                     optimizer: Optional[dict] = None,
                     lr_config: Optional[dict] = None,
+                    optimizer_config: Optional[dict] = None,
                     ignore_index: int = 255,
                     sampler: Optional[dict] = None,
                     aux_weight: float = 0.4,
@@ -119,6 +199,11 @@ def train_segmentor(model, dataset, *,
                     eval_interval: int = 0,
                     mesh=None,
                     seed: int = 0,
+                    work_dir: Optional[str] = None,
+                    checkpoint_config: Optional[dict] = None,
+                    resume_from: Optional[str] = None,
+                    load_from: Optional[str] = None,
+                    log_config: Optional[dict] = None,
                     log_fn: Callable[[str], None] = print):
     """Train a zoo segmentor on a pipeline dataset. Returns
     ``(variables, history)`` where history holds per-iter losses and any
@@ -141,6 +226,25 @@ def train_segmentor(model, dataset, *,
     gradients and BN statistics, so results are IDENTICAL to single-device
     (the DDP train-side twin of ``evaluate_segmentor(mesh=)``).
     ``batch_size`` must be a multiple of the mesh size.
+
+    Runner-hook surface (``runner.register_training_hooks``,
+    `apis/train.py:90-92` + `runner.resume/load_checkpoint`,
+    `apis/train.py:111-115`):
+
+    - ``optimizer_config=dict(grad_clip=dict(max_norm=, norm_type=2))`` —
+      mmcv OptimizerHook gradient clipping;
+    - ``work_dir`` + ``checkpoint_config=dict(interval=N,
+      max_keep_ckpts=-1)`` — CheckpointHook: writes
+      ``iter_{n}.msgpack`` (params+batch_stats+optimizer+iter) and a
+      ``latest.msgpack`` copy every N iters, pruning to the newest
+      ``max_keep_ckpts``;
+    - ``resume_from`` — restores params/stats/optimizer AND the iteration
+      counter; the data stream and dropout keys are pure functions of the
+      iteration, so a resumed run replays the original exactly;
+    - ``load_from`` — weights-only init from an ``init_segmentor``-format
+      variables msgpack (no optimizer state);
+    - ``log_config=dict(interval=N)`` — TextLoggerHook-style periodic
+      ``Iter [i/max] lr: ... loss: ...`` lines via ``log_fn``.
     """
     import optax
 
@@ -158,23 +262,43 @@ def train_segmentor(model, dataset, *,
     # nearest-sampled gt labels (mmseg cascade ``loss_point``)
     has_point = getattr(model, "point_head", None) is not None
     rng = jax.random.PRNGKey(seed)
-    perm_rng = np.random.default_rng(seed)
 
     x0, _ = _assemble(dataset, range(min(batch_size, len(dataset))))
+    # jit the init: eager flax init dispatches every op separately, which
+    # on a remote-attached TPU pays a tunnel round trip per op (minutes
+    # for an R50 — measured; one compiled program is seconds)
     if has_point:
-        variables = model.init(rng, x0, jax.random.PRNGKey(0), train=True,
-                               method=type(model).forward_train_points)
+        variables = jax.jit(lambda r, x: model.init(
+            r, x, jax.random.PRNGKey(0), train=True,
+            method=type(model).forward_train_points))(rng, x0)
     elif has_aux:
-        variables = model.init(rng, x0, train=True,
-                               method=type(model).forward_train)
+        variables = jax.jit(lambda r, x: model.init(
+            r, x, train=True,
+            method=type(model).forward_train))(rng, x0)
     else:
-        variables = model.init(rng, x0, train=True)
+        variables = jax.jit(
+            lambda r, x: model.init(r, x, train=True))(rng, x0)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
+    if load_from:
+        from flax import serialization
+        template = {"params": params}
+        if stats:
+            template["batch_stats"] = stats
+        with open(load_from, "rb") as f:
+            loaded = serialization.from_bytes(template, f.read())
+        params = loaded["params"]
+        stats = loaded.get("batch_stats", stats)
     if optimizer is None and lr_config is None:
         optimizer = {"type": "Adam", "lr": lr}
-    tx, _ = build_optimizer(optimizer, lr_config, max_iters)
+    tx, schedule = build_optimizer(optimizer, lr_config, max_iters,
+                                   optimizer_config)
     opt = tx.init(params)
+    start_iter = 0
+    if resume_from:
+        params, stats, opt, start_iter = _load_train_state(
+            resume_from, params, stats, opt)
+        log_fn(f"resumed from {resume_from} at iter {start_iter}")
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -234,22 +358,28 @@ def train_segmentor(model, dataset, *,
         upd, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, upd), new_stats, opt, loss
 
+    ckpt_interval = (checkpoint_config or {}).get("interval", 0)
+    max_keep = (checkpoint_config or {}).get("max_keep_ckpts", -1)
+    log_interval = (log_config or {}).get("interval", 0)
+    if ckpt_interval and work_dir:
+        import os
+        os.makedirs(work_dir, exist_ok=True)
+    saved_ckpts = []
+
     history = {"loss": [], "eval": []}
     n = len(dataset)
-    order = perm_rng.permutation(n)
-    cursor = 0
-    for it in range(max_iters):
-        if cursor + batch_size > n:
-            order = perm_rng.permutation(n)
-            cursor = 0
-        idxs = order[cursor: cursor + batch_size]
-        cursor += batch_size
+    for it in range(start_iter, max_iters):
+        idxs = _batch_indices(n, batch_size, it, seed)
         x, y = _assemble(dataset, idxs)
         if mesh is not None:
             x, y = jax.device_put((x, y), data_sh)
-        rng, krng = jax.random.split(rng)
+        krng = jax.random.fold_in(rng, it)
         params, stats, opt, loss = step(params, stats, opt, x, y, krng)
         history["loss"].append(float(loss))
+        if log_interval and (it + 1) % log_interval == 0:
+            log_fn(f"Iter [{it + 1}/{max_iters}] "
+                   f"lr: {float(schedule(it)):.3e} "
+                   f"loss: {float(loss):.4f}")
         if eval_interval and eval_dataset is not None \
                 and (it + 1) % eval_interval == 0:
             ev = evaluate_segmentor(model, {"params": params,
@@ -257,6 +387,16 @@ def train_segmentor(model, dataset, *,
                                     eval_dataset)
             history["eval"].append({"iter": it + 1, **ev})
             log_fn(f"iter {it + 1}: loss {float(loss):.4f} eval {ev}")
+        if ckpt_interval and work_dir and (it + 1) % ckpt_interval == 0:
+            import os, shutil
+            path = os.path.join(work_dir, f"iter_{it + 1}.msgpack")
+            _save_train_state(path, params, stats, opt, it + 1)
+            shutil.copyfile(path, os.path.join(work_dir, "latest.msgpack"))
+            saved_ckpts.append(path)
+            if max_keep > 0 and len(saved_ckpts) > max_keep:
+                old = saved_ckpts.pop(0)
+                if os.path.exists(old):
+                    os.remove(old)
 
     out = {"params": params}
     if stats:

@@ -149,3 +149,121 @@ def test_train_segmentor_mesh_dp_matches_single_device():
                     jax.tree_util.tree_leaves(v2["batch_stats"])):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_poly_lr_warmup_matches_mmcv():
+    """mmcv LrUpdaterHook.get_warmup_lr: during warmup_iters the regular
+    lr is scaled by the warmup factor, then the plain poly curve resumes."""
+    base, mi, wi, wr = 0.01, 100, 10, 0.1
+
+    def regular(it):
+        return (base - 1e-4) * (1 - it / mi) ** 0.9 + 1e-4
+
+    lin = poly_lr(base, mi, power=0.9, min_lr=1e-4, warmup="linear",
+                  warmup_iters=wi, warmup_ratio=wr)
+    con = poly_lr(base, mi, power=0.9, min_lr=1e-4, warmup="constant",
+                  warmup_iters=wi, warmup_ratio=wr)
+    exp = poly_lr(base, mi, power=0.9, min_lr=1e-4, warmup="exp",
+                  warmup_iters=wi, warmup_ratio=wr)
+    for it in (0, 3, 9):
+        k_lin = 1 - (1 - it / wi) * (1 - wr)
+        assert np.isclose(float(lin(it)), regular(it) * k_lin), it
+        assert np.isclose(float(con(it)), regular(it) * wr), it
+        assert np.isclose(float(exp(it)), regular(it) * wr ** (1 - it / wi))
+    for it in (10, 11, 50):  # past warmup: plain poly
+        assert np.isclose(float(lin(it)), regular(it)), it
+        assert np.isclose(float(con(it)), regular(it)), it
+        assert np.isclose(float(exp(it)), regular(it)), it
+
+
+def test_grad_clip_matches_torch():
+    """optimizer_config=dict(grad_clip=...) == mmcv OptimizerHook's
+    clip_grad_norm_ before the SGD step."""
+    torch = pytest.importorskip("torch")
+    import optax
+
+    rng = np.random.default_rng(5)
+    w0 = rng.normal(0, 1, (4, 3)).astype(np.float32)
+    grads = [10.0 * rng.normal(0, 1, (4, 3)).astype(np.float32)
+             for _ in range(4)]
+    max_norm, lr, mom = 2.0, 0.05, 0.9
+
+    p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([p], lr=lr, momentum=mom)
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_([p], max_norm)
+        opt.step()
+    want = p.detach().numpy()
+
+    tx, _ = build_optimizer(
+        dict(type="SGD", lr=lr, momentum=mom), None, 4,
+        optimizer_config=dict(grad_clip=dict(max_norm=max_norm,
+                                             norm_type=2)))
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        upd, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]), want,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_train_segmentor_checkpoint_resume_exact(tmp_path):
+    """CheckpointHook + resume_from: train 3+3 with a mid-run checkpoint
+    == train 6 straight (params, batch_stats, optimizer state and the
+    data/dropout streams all replay)."""
+    ds = _MemDataset(n=8)
+    model = _TinySeg()
+    kw = dict(batch_size=2,
+              optimizer=dict(type="SGD", lr=0.01, momentum=0.9,
+                             weight_decay=5e-4),
+              lr_config=dict(policy="poly", power=0.9, min_lr=1e-4),
+              seed=7)
+    # checkpoint mid-run of the SAME schedule (max_iters feeds the poly
+    # denominator, so an "interrupted" run must share the full config)
+    wd = str(tmp_path / "work")
+    v_full, h_full = train_segmentor(model, ds, max_iters=6, work_dir=wd,
+                                     checkpoint_config=dict(interval=3),
+                                     **kw)
+    v_res, h_res = train_segmentor(
+        model, ds, max_iters=6,
+        resume_from=str(tmp_path / "work" / "iter_3.msgpack"), **kw)
+    assert len(h_res["loss"]) == 3  # only iters 3..5 run
+    np.testing.assert_allclose(h_res["loss"], h_full["loss"][3:],
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(v_full["params"]),
+                    jax.tree_util.tree_leaves(v_res["params"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(v_full["batch_stats"]),
+                    jax.tree_util.tree_leaves(v_res["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_train_segmentor_ckpt_pruning_and_load_from(tmp_path):
+    from aadg_tpu.models.zoo.api import save_segmentor
+    import os
+
+    ds = _MemDataset(n=8)
+    model = _TinySeg()
+    wd = str(tmp_path / "work")
+    logs = []
+    v, _ = train_segmentor(
+        model, ds, max_iters=6, batch_size=2, work_dir=wd,
+        checkpoint_config=dict(interval=2, max_keep_ckpts=2),
+        log_config=dict(interval=3), log_fn=logs.append)
+    kept = sorted(f for f in os.listdir(wd) if f.startswith("iter_"))
+    assert kept == ["iter_4.msgpack", "iter_6.msgpack"]  # pruned to 2
+    assert os.path.exists(os.path.join(wd, "latest.msgpack"))
+    assert any("Iter [3/6]" in l for l in logs)
+    assert any("lr:" in l and "loss:" in l for l in logs)
+
+    # load_from: weights-only warm start from an init_segmentor-format file
+    ck = str(tmp_path / "weights.msgpack")
+    save_segmentor(v, ck)
+    v2, h2 = train_segmentor(model, ds, max_iters=1, batch_size=2,
+                             load_from=ck)
+    assert np.isfinite(h2["loss"][0])
