@@ -31,8 +31,8 @@ from .sampler import ohem_weights
 from .segmentor import (CascadeEncoderDecoder, EncoderDecoder,
                         PointRendSegmentor, segmentor_slide_inference,
                         whole_inference)
-from .api import (inference_segmentor, init_segmentor, save_segmentor,
-                  show_result)
+from .api import (aug_test_segmentor, inference_segmentor,
+                  init_segmentor, save_segmentor, show_result)
 from .train_api import evaluate_segmentor, train_segmentor
 
 __all__ = [
@@ -50,7 +50,7 @@ __all__ = [
     "point_rend_refine", "point_sample", "point_sample_labels",
     "PointRendSegmentor", "CGNet", "FastSCNN", "HRNet",
     "MobileNetV3", "ResNeSt", "ResNeXt", "ResNetV1c", "UNetBackbone",
-    "ohem_weights", "inference_segmentor", "init_segmentor",
+    "ohem_weights", "aug_test_segmentor", "inference_segmentor", "init_segmentor",
     "save_segmentor", "show_result", "train_segmentor",
     "evaluate_segmentor",
 ]

@@ -111,6 +111,58 @@ def inference_segmentor(model, variables, imgs,
     return [p for p in pred[:n_orig]]
 
 
+def aug_test_segmentor(model, variables, img, *,
+                       img_ratios=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+                       flip: bool = True,
+                       flip_direction: str = "horizontal",
+                       mode: str = "whole",
+                       crop: Optional[Tuple[int, int]] = None,
+                       stride: Optional[Tuple[int, int]] = None,
+                       mean: Sequence[float] = IMAGENET_MEAN,
+                       std: Sequence[float] = IMAGENET_STD,
+                       dtype: Optional[str] = None):
+    """mmseg test-time augmentation: ``MultiScaleFlipAug`` views ->
+    ``EncoderDecoder.aug_test`` averaging
+    (`segmentors/encoder_decoder.py:228-294` via
+    `pipelines/test_time_aug.py`): each (scale, flip) view is forwarded,
+    its logits bilinear-rescaled to the original shape, softmaxed,
+    un-flipped, and the mean over views is argmaxed. ``img_ratios`` +
+    ``flip`` default to the standard mmseg TTA sweep.
+
+    ``img``: one raw HWC image (uint8 or float, RGB). Returns an (H, W)
+    int32 label map. Each distinct view shape compiles once (static
+    shapes); repeat calls at the same image size reuse the programs.
+    """
+    from ...data.pipeline import MultiScaleFlipAug, Normalize
+    from .layers import resize as _resize
+
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    tta = MultiScaleFlipAug(
+        transforms=[Normalize(mean, std)], img_scale=(h, w),
+        img_ratios=list(img_ratios), flip=flip,
+        flip_direction=flip_direction)
+    views = tta({"img": img})
+    if dtype is not None:
+        variables = cast_variables(variables, dtype)
+    run = _runner(model, mode, crop, stride)
+    acc = None
+    for view in views:
+        x = jnp.asarray(view["img"][None])
+        if dtype is not None:
+            x = x.astype(dtype)
+        logits = run(variables, x)
+        # rescale logits to ori_shape, THEN softmax, THEN un-flip —
+        # the reference's exact order (`encoder_decoder.py:216-261`)
+        logits = _resize(logits.astype(jnp.float32), (h, w))
+        prob = jax.nn.softmax(logits, axis=-1)
+        if view.get("flip"):
+            axis = 2 if view["flip_direction"] == "horizontal" else 1
+            prob = jnp.flip(prob, axis=axis)
+        acc = prob if acc is None else acc + prob
+    return np.asarray(jnp.argmax(acc[0], axis=-1).astype(jnp.int32))
+
+
 def cast_variables(variables, dtype):
     """Cast every f32 leaf (params AND batch_stats) to ``dtype``; integer
     and non-f32 leaves pass through."""

@@ -82,3 +82,47 @@ def test_show_result_blend(rng):
     exp = (img.astype(np.float32) * 0.5
            + pal[seg].astype(np.float32) * 0.5).astype(np.uint8)
     np.testing.assert_array_equal(out, exp)
+
+
+def test_aug_test_tta_matches_reference_math(rng):
+    """aug_test_segmentor == hand-rolled mmseg aug_test: per-view forward
+    -> logits resized to ori_shape -> softmax -> un-flip -> mean -> argmax
+    (`encoder_decoder.py:216-294`), with the views built by the SAME
+    MultiScaleFlipAug pipeline the reference's test config uses."""
+    import jax
+    import jax.numpy as jnp
+    from aadg_tpu.models.zoo.api import aug_test_segmentor
+    from aadg_tpu.models.zoo.layers import resize
+    from aadg_tpu.data.pipeline import MultiScaleFlipAug, Normalize
+    from aadg_tpu.models.zoo.api import IMAGENET_MEAN, IMAGENET_STD
+
+    model, variables = init_segmentor("fcn", "cgnet", num_classes=4,
+                                      input_size=32)
+    img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+
+    # identity TTA reduces to plain whole inference
+    plain = inference_segmentor(model, variables, img)[0]
+    ident = aug_test_segmentor(model, variables, img, img_ratios=(1.0,),
+                               flip=False)
+    np.testing.assert_array_equal(ident, plain)
+
+    # full sweep vs independent reconstruction of the reference math
+    ratios, h, w = (0.5, 1.0, 1.5), img.shape[0], img.shape[1]
+    got = aug_test_segmentor(model, variables, img, img_ratios=ratios,
+                             flip=True)
+    views = MultiScaleFlipAug(
+        transforms=[Normalize(IMAGENET_MEAN, IMAGENET_STD)],
+        img_scale=(h, w), img_ratios=list(ratios),
+        flip=True)({"img": img})
+    assert len(views) == 6  # 3 scales x (no-flip, flip)
+    acc = None
+    for view in views:
+        logits, _ = model.apply(variables,
+                                jnp.asarray(view["img"][None]),
+                                train=False)
+        prob = jax.nn.softmax(resize(logits, (h, w)), axis=-1)
+        if view["flip"]:
+            prob = jnp.flip(prob, axis=2)
+        acc = prob if acc is None else acc + prob
+    want = np.asarray(jnp.argmax(acc[0], -1))
+    np.testing.assert_array_equal(got, want)
