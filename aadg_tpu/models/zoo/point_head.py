@@ -37,11 +37,15 @@ def point_sample(feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     wy = y - y0
 
     def gather(yy, xx):
+        # grid_sample padding_mode='zeros': out-of-range neighbours
+        # contribute zero, not the clamped border pixel
+        valid = ((yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1))
         yy = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
         xx = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
         flat = feat.reshape(b, h * w, c)
         idx = yy * w + xx  # (B, P)
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+        v = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return v * valid[..., None].astype(v.dtype)
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x0 + 1)
@@ -111,12 +115,15 @@ def get_points_test(seg_logits: jnp.ndarray,
 
 class PointHead(nn.Module):
     """MLP over per-point [fine-grained features ++ coarse logits]
-    (`point_head.py` PointHead: num_fcs 1x1 convs, coarse logits re-concat
-    after every fc when ``coarse_pred_each_layer``)."""
+    (`point_head.py` PointHead: num_fcs Conv1d ConvModules (norm-free,
+    ReLU), coarse logits re-concat after every fc when
+    ``coarse_pred_each_layer``, BaseDecodeHead dropout before the final
+    ``fc_seg`` — `point_head.py:100-121`)."""
     num_classes: int
     channels: int = 256
     num_fcs: int = 3
     coarse_pred_each_layer: bool = True
+    dropout_ratio: float = 0.1
     in_index: Sequence[int] = (0,)
 
     @nn.compact
@@ -129,6 +136,8 @@ class PointHead(nn.Module):
             x = nn.relu(nn.Dense(self.channels, name=f"fc{i}")(x))
             if self.coarse_pred_each_layer:
                 x = jnp.concatenate([x, coarse], axis=-1)
+        if self.dropout_ratio > 0:
+            x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
         return nn.Dense(self.num_classes, name="fc_seg")(x)
 
 

@@ -31,8 +31,9 @@ def test_point_sample_matches_grid_sample(rng):
     ours = point_sample(jnp.asarray(feat), jnp.asarray(coords))
     t_feat = torch.tensor(feat).permute(0, 3, 1, 2)
     grid = torch.tensor(coords).unsqueeze(2) * 2 - 1  # (B,P,1,2) in [-1,1]
-    t = F.grid_sample(t_feat, grid, align_corners=False,
-                      padding_mode="border")
+    # mmcv point_sample uses grid_sample's DEFAULT zero padding
+    # (`mmcv/ops/point_sample.py`), not border
+    t = F.grid_sample(t_feat, grid, align_corners=False)
     t = t.squeeze(-1).permute(0, 2, 1)  # (B,P,C)
     np.testing.assert_allclose(np.asarray(ours), t.numpy(), rtol=1e-4,
                                atol=1e-5)
@@ -83,3 +84,63 @@ def test_point_rend_refine_changes_uncertain_pixels(rng):
         (1, 32, 32, 3), "bilinear")
     # refined map differs from plain upsampling at some points
     assert np.abs(np.asarray(out) - np.asarray(up)).max() > 1e-4
+
+
+def test_point_head_forward_torch_parity(rng):
+    """Full PointHead forward vs a torch oracle of the reference module
+    (`point_head.py:80-121`): grid_sample'd fine+coarse point feats ->
+    num_fcs Conv1d+ReLU with coarse re-concat -> fc_seg."""
+    import jax.numpy as jnp
+    from torch import nn as tnn
+
+    c_fine, n_cls, channels, n_fcs, P = 6, 4, 8, 3, 10
+    feat = rng.normal(0, 1, (2, 9, 11, c_fine)).astype(np.float32)
+    coarse = rng.normal(0, 1, (2, 5, 7, n_cls)).astype(np.float32)
+    coords = rng.uniform(0.02, 0.98, (2, P, 2)).astype(np.float32)
+
+    class TPoint(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            fcs, fin = [], c_fine + n_cls
+            for _ in range(n_fcs):
+                fcs.append(tnn.Conv1d(fin, channels, 1))
+                fin = channels + n_cls
+            self.fcs = tnn.ModuleList(fcs)
+            self.fc_seg = tnn.Conv1d(fin, n_cls, 1)
+
+        def forward(self, fine_pts, coarse_pts):
+            x = torch.cat([fine_pts, coarse_pts], dim=1)
+            for fc in self.fcs:
+                x = F.relu(fc(x))
+                x = torch.cat((x, coarse_pts), dim=1)
+            return self.fc_seg(x)
+
+    torch.manual_seed(3)
+    t = TPoint()
+    for m in t.modules():
+        if isinstance(m, tnn.Conv1d):
+            m.weight.data.normal_(0, 0.3)
+            m.bias.data.normal_(0, 0.1)
+    t.eval()
+    grid = torch.tensor(coords).unsqueeze(2) * 2 - 1
+    fine_pts = F.grid_sample(torch.tensor(feat).permute(0, 3, 1, 2),
+                             grid, align_corners=False).squeeze(-1)
+    coarse_pts = F.grid_sample(torch.tensor(coarse).permute(0, 3, 1, 2),
+                               grid, align_corners=False).squeeze(-1)
+    with torch.no_grad():
+        want = t(fine_pts, coarse_pts).permute(0, 2, 1).numpy()  # (B,P,C)
+
+    head = PointHead(num_classes=n_cls, channels=channels,
+                        num_fcs=n_fcs, in_index=(0,))
+    params = {}
+    for i, fc in enumerate(t.fcs):
+        params[f"fc{i}"] = {
+            "kernel": fc.weight.detach().numpy()[:, :, 0].T,
+            "bias": fc.bias.detach().numpy()}
+    params["fc_seg"] = {
+        "kernel": t.fc_seg.weight.detach().numpy()[:, :, 0].T,
+        "bias": t.fc_seg.bias.detach().numpy()}
+    out = head.apply({"params": params}, [jnp.asarray(feat)],
+                     jnp.asarray(coarse), jnp.asarray(coords),
+                     train=False)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
