@@ -163,6 +163,11 @@ def _batch_indices(n: int, batch_size: int, it: int, seed: int):
 
 def _save_train_state(path: str, params, stats, opt, it: int) -> None:
     from flax import serialization
+    from ...utils import fetch_tree
+    # one packed device->host transfer per dtype (fetch_tree) — msgpack's
+    # per-leaf numpy conversion would pay a tunnel round trip PER ARRAY
+    # on remote-attached TPUs (CLAUDE.md fact 5)
+    params, stats, opt = fetch_tree((params, stats, opt))
     blob = serialization.msgpack_serialize(
         {"params": serialization.to_state_dict(params),
          "batch_stats": serialization.to_state_dict(stats),
