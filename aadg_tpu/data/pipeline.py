@@ -35,32 +35,106 @@ except ImportError:  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
-# numpy image helpers (bilinear/nearest resize without cv2)
+# mmcv-semantics image helpers (cv2 backend — the reference's mmcv image
+# ops are thin cv2 wrappers, so matching them exactly means calling cv2
+# with mmcv's conventions: sizes are (w, h), bilinear = INTER_LINEAR with
+# no antialias, nearest = floor(dst * src/dst))
 # ---------------------------------------------------------------------------
 
-def _resize_img(img: np.ndarray, size: Tuple[int, int],
-                nearest: bool = False) -> np.ndarray:
-    """Resize H,W(,C) array to (h, w). PIL backend, matching the
-    reference's pillow default."""
-    h, w = size
-    if img.shape[:2] == (h, w):
+import cv2
+
+_CV2_INTERP = {
+    "nearest": cv2.INTER_NEAREST,
+    "bilinear": cv2.INTER_LINEAR,
+    "bicubic": cv2.INTER_CUBIC,
+    "area": cv2.INTER_AREA,
+    "lanczos": cv2.INTER_LANCZOS4,
+}
+
+
+def _nearest_resize_any(img: np.ndarray, size_wh: Tuple[int, int]):
+    """cv2 INTER_NEAREST for dtypes cv2 rejects (e.g. int64 seg maps):
+    ``src = floor(dst * src_size/dst_size)`` computed in float64, clipped
+    — bit-identical to cv2 (oracle-tested on uint8)."""
+    w, h = size_wh
+    sh, sw = img.shape[:2]
+    ys = np.minimum(np.floor(np.arange(h) * (sh / h)).astype(int), sh - 1)
+    xs = np.minimum(np.floor(np.arange(w) * (sw / w)).astype(int), sw - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def _imresize(img: np.ndarray, size_wh: Tuple[int, int],
+              interpolation: str = "bilinear") -> np.ndarray:
+    """``mmcv.imresize``: cv2.resize to ``(w, h)``."""
+    if img.shape[:2] == (size_wh[1], size_wh[0]):
         return img
-    if nearest:
-        # PIL-NEAREST sampling rule (pixel centers), any dtype
-        ys = np.minimum((np.arange(h) + 0.5) * img.shape[0] / h,
-                        img.shape[0] - 1).astype(int)
-        xs = np.minimum((np.arange(w) + 0.5) * img.shape[1] / w,
-                        img.shape[1] - 1).astype(int)
-        return img[ys[:, None], xs[None, :]]
-    mode = Image.BILINEAR
-    if img.ndim == 2:
-        out = Image.fromarray(img).resize((w, h), mode)
-        return np.asarray(out)
+    if interpolation == "nearest" and img.dtype not in (
+            np.uint8, np.int16, np.uint16, np.float32, np.float64):
+        return _nearest_resize_any(img, size_wh)
+    return cv2.resize(img, tuple(size_wh),
+                      interpolation=_CV2_INTERP[interpolation])
+
+
+def _rescale_size(old_wh: Tuple[int, int], scale):
+    """``mmcv.rescale_size``: new (w, h) after scaling, factor-preserving
+    (tuple scale = fit (long, short) bounds; int/float = direct factor);
+    rounds with +0.5 like mmcv's ``_scale_size``."""
+    w, h = old_wh
+    if isinstance(scale, (float, int)):
+        scale_factor = scale
+    else:
+        max_long_edge, max_short_edge = max(scale), min(scale)
+        scale_factor = min(max_long_edge / max(h, w),
+                           max_short_edge / min(h, w))
+    return (int(w * scale_factor + 0.5), int(h * scale_factor + 0.5))
+
+
+def _imrescale(img: np.ndarray, scale,
+               interpolation: str = "bilinear") -> np.ndarray:
+    """``mmcv.imrescale``: resize keeping aspect ratio."""
+    h, w = img.shape[:2]
+    return _imresize(img, _rescale_size((w, h), scale), interpolation)
+
+
+def _imrotate(img: np.ndarray, angle: float, center=None,
+              border_value=0, interpolation: str = "bilinear",
+              auto_bound: bool = False) -> np.ndarray:
+    """``mmcv.imrotate``: positive angle = clockwise, default center
+    ``((w-1)/2, (h-1)/2)``, cv2.warpAffine sampling."""
+    if center is not None and auto_bound:
+        raise ValueError("`auto_bound` conflicts with `center`")
+    h, w = img.shape[:2]
+    if center is None:
+        center = ((w - 1) * 0.5, (h - 1) * 0.5)
+    matrix = cv2.getRotationMatrix2D(center, -angle, 1.0)
+    if auto_bound:
+        cos = np.abs(matrix[0, 0])
+        sin = np.abs(matrix[0, 1])
+        new_w = h * sin + w * cos
+        new_h = h * cos + w * sin
+        matrix[0, 2] += (new_w - w) * 0.5
+        matrix[1, 2] += (new_h - h) * 0.5
+        w, h = int(np.round(new_w)), int(np.round(new_h))
     dtype = img.dtype
-    chans = [np.asarray(Image.fromarray(
-        img[..., c].astype(np.float32) if dtype != np.uint8 else img[..., c]
-    ).resize((w, h), mode)) for c in range(img.shape[-1])]
-    return np.stack(chans, -1).astype(dtype)
+    if dtype not in (np.uint8, np.int16, np.uint16, np.float32,
+                     np.float64) and interpolation == "nearest":
+        out = cv2.warpAffine(img.astype(np.float64), matrix, (w, h),
+                             flags=_CV2_INTERP[interpolation],
+                             borderValue=float(border_value))
+        return out.astype(dtype)
+    return cv2.warpAffine(img, matrix, (w, h),
+                          flags=_CV2_INTERP[interpolation],
+                          borderValue=border_value)
+
+
+def _seg_keys(results) -> list:
+    """The reference iterates ``results['seg_fields']``; standalone users
+    of single transforms may not set it, so fall back to the standard
+    key when present."""
+    keys = results.get("seg_fields")
+    if keys is None:
+        keys = ["gt_semantic_seg"] if "gt_semantic_seg" in results else []
+    return keys
 
 
 # ---------------------------------------------------------------------------
@@ -82,72 +156,163 @@ class Compose:
 
 
 class Resize:
-    """`transforms.py:237-463`: img_scale (+ ratio_range for jitter),
-    keep_ratio rescales the long edge; the seg map resizes nearest."""
+    """`transforms.py:237-463`. The reference's four sampling modes:
+    ``ratio_range`` with ``img_scale=None`` (jitter the image's own
+    (w, h)) or a single scale; else ``multiscale_mode='range'`` (sample
+    long/short edges between two scales) or ``'value'`` (pick one of the
+    list). A pre-set ``results['scale']`` wins (that is how
+    ``MultiScaleFlipAug`` drives it). ``keep_ratio`` resizes via
+    mmcv.imrescale (fit (long, short) bounds); otherwise the scale tuple
+    is an mmcv ``(w, h)`` size. Images resize cv2-bilinear, seg maps
+    cv2-nearest; adds ``img_shape``/``pad_shape``/``scale_factor``
+    (``[w_scale, h_scale, w_scale, h_scale]``)/``keep_ratio`` keys."""
 
-    def __init__(self, img_scale: Optional[Tuple[int, int]] = None,
+    def __init__(self, img_scale=None, multiscale_mode: str = "range",
                  ratio_range: Optional[Tuple[float, float]] = None,
-                 keep_ratio: bool = True, rng: Optional[np.random.Generator]
-                 = None):
-        self.img_scale = img_scale
+                 keep_ratio: bool = True,
+                 rng: Optional[np.random.Generator] = None):
+        if img_scale is None:
+            self.img_scale = None
+        else:
+            self.img_scale = img_scale if isinstance(img_scale, list) \
+                else [img_scale]
+            assert all(isinstance(s, tuple) for s in self.img_scale)
+        if ratio_range is not None:
+            assert self.img_scale is None or len(self.img_scale) == 1
+        else:
+            assert multiscale_mode in ("value", "range")
+        self.multiscale_mode = multiscale_mode
         self.ratio_range = ratio_range
         self.keep_ratio = keep_ratio
         self.rng = rng or np.random.default_rng()
 
-    def __call__(self, results):
-        img = results["img"]
-        h, w = img.shape[:2]
-        scale = self.img_scale or (h, w)
+    # --- scale sampling (`transforms.py:296-404`) ---
+    def _random_sample_ratio(self, img_scale):
+        min_ratio, max_ratio = self.ratio_range
+        ratio = self.rng.random() * (max_ratio - min_ratio) + min_ratio
+        return int(img_scale[0] * ratio), int(img_scale[1] * ratio)
+
+    def _random_scale(self, results):
         if self.ratio_range is not None:
-            ratio = self.rng.uniform(*self.ratio_range)
-            scale = (int(scale[0] * ratio), int(scale[1] * ratio))
+            if self.img_scale is None:
+                h, w = results["img"].shape[:2]
+                scale, idx = self._random_sample_ratio((w, h)), None
+            else:
+                scale, idx = self._random_sample_ratio(self.img_scale[0]), \
+                    None
+        elif len(self.img_scale) == 1:
+            scale, idx = self.img_scale[0], 0
+        elif self.multiscale_mode == "range":
+            longs = [max(s) for s in self.img_scale]
+            shorts = [min(s) for s in self.img_scale]
+            scale = (int(self.rng.integers(min(longs), max(longs) + 1)),
+                     int(self.rng.integers(min(shorts), max(shorts) + 1)))
+            idx = None
+        else:  # 'value'
+            idx = int(self.rng.integers(len(self.img_scale)))
+            scale = self.img_scale[idx]
+        results["scale"] = scale
+        results["scale_idx"] = idx
+
+    def _resize_img(self, results):
         if self.keep_ratio:
-            factor = min(max(scale) / max(h, w), min(scale) / min(h, w))
-            new_h, new_w = int(h * factor + 0.5), int(w * factor + 0.5)
+            img = _imrescale(results["img"], results["scale"])
+            # mmcv note kept: w_scale/h_scale recomputed from shapes
+            new_h, new_w = img.shape[:2]
+            h, w = results["img"].shape[:2]
+            w_scale, h_scale = new_w / w, new_h / h
         else:
-            new_h, new_w = scale
-        results["img"] = _resize_img(img, (new_h, new_w))
-        if "gt_semantic_seg" in results:
-            results["gt_semantic_seg"] = _resize_img(
-                results["gt_semantic_seg"], (new_h, new_w), nearest=True)
-        results["img_shape"] = (new_h, new_w)
-        results["scale_factor"] = (new_h / h, new_w / w)
+            new_w, new_h = results["scale"]
+            img = _imresize(results["img"], (new_w, new_h))
+            h, w = results["img"].shape[:2]
+            w_scale, h_scale = new_w / w, new_h / h
+        results["img"] = img
+        results["img_shape"] = img.shape
+        results["pad_shape"] = img.shape  # in case there is no padding
+        results["scale_factor"] = np.array(
+            [w_scale, h_scale, w_scale, h_scale], dtype=np.float32)
+        results["keep_ratio"] = self.keep_ratio
+
+    def _resize_seg(self, results):
+        for key in _seg_keys(results):
+            if self.keep_ratio:
+                results[key] = _imrescale(results[key], results["scale"],
+                                          interpolation="nearest")
+            else:
+                results[key] = _imresize(results[key], results["scale"],
+                                         interpolation="nearest")
+
+    def __call__(self, results):
+        if "scale" not in results:
+            self._random_scale(results)
+        self._resize_img(results)
+        self._resize_seg(results)
         return results
 
 
 class AlignedResize(Resize):
     """`transforms.py:10-236` AlignedResize (the SegFormer eval resize):
-    identical to ``Resize`` except both output sides are then aligned UP
-    to the next multiple of ``size_divisor`` (img bilinear, seg nearest) —
-    so whole-image inference never needs padding."""
+    ``Resize`` whose keep-ratio output is then resized (not padded) UP to
+    the next multiple of ``size_divisor`` on both sides (img bilinear,
+    seg nearest) — so whole-image inference never needs padding; the
+    non-keep-ratio path instead asserts the target is already aligned."""
 
-    def __init__(self, img_scale=None, ratio_range=None,
-                 keep_ratio: bool = True, size_divisor: int = 32, rng=None):
-        super().__init__(img_scale=img_scale, ratio_range=ratio_range,
-                         keep_ratio=keep_ratio, rng=rng)
+    def __init__(self, img_scale=None, multiscale_mode: str = "range",
+                 ratio_range=None, keep_ratio: bool = True,
+                 size_divisor: int = 32, rng=None):
+        super().__init__(img_scale=img_scale, multiscale_mode=multiscale_mode,
+                         ratio_range=ratio_range, keep_ratio=keep_ratio,
+                         rng=rng)
         self.size_divisor = size_divisor
 
-    def _aligned(self, h: int, w: int) -> Tuple[int, int]:
+    def _align(self, img, interpolation="bilinear"):
         d = self.size_divisor
-        return -(-h // d) * d, -(-w // d) * d
+        ah = int(np.ceil(img.shape[0] / d)) * d
+        aw = int(np.ceil(img.shape[1] / d)) * d
+        return _imresize(img, (aw, ah), interpolation)
 
-    def __call__(self, results):
-        results = super().__call__(results)
+    def _resize_img(self, results):
         h, w = results["img"].shape[:2]
-        ah, aw = self._aligned(h, w)
-        if (ah, aw) != (h, w):
-            results["img"] = _resize_img(results["img"], (ah, aw))
-            if "gt_semantic_seg" in results:
-                results["gt_semantic_seg"] = _resize_img(
-                    results["gt_semantic_seg"], (ah, aw), nearest=True)
-            results["img_shape"] = (ah, aw)
-        return results
+        if self.keep_ratio:
+            img = _imrescale(results["img"], results["scale"])
+            img = self._align(img)
+            new_h, new_w = img.shape[:2]
+            w_scale, h_scale = new_w / w, new_h / h
+        else:
+            new_w, new_h = results["scale"]
+            img = _imresize(results["img"], (new_w, new_h))
+            d = self.size_divisor
+            assert new_h % d == 0 and new_w % d == 0, \
+                f"img size not align. h:{new_h} w:{new_w}"
+            w_scale, h_scale = new_w / w, new_h / h
+        results["img"] = img
+        results["img_shape"] = img.shape
+        results["pad_shape"] = img.shape
+        results["scale_factor"] = np.array(
+            [w_scale, h_scale, w_scale, h_scale], dtype=np.float32)
+        results["keep_ratio"] = self.keep_ratio
+
+    def _resize_seg(self, results):
+        for key in _seg_keys(results):
+            if self.keep_ratio:
+                seg = _imrescale(results[key], results["scale"],
+                                 interpolation="nearest")
+                seg = self._align(seg, interpolation="nearest")
+            else:
+                seg = _imresize(results[key], results["scale"],
+                                interpolation="nearest")
+            results[key] = seg
 
 
 class MaillaryHack:
     """`transforms.py:1028-1065`: remap Mapillary Vistas' 66 labels onto
     the 19 Cityscapes train classes (all unmapped labels -> 255 ignore).
-    One vectorized LUT pass instead of the reference's per-value loops."""
+    One vectorized LUT pass instead of the reference's sequential
+    per-value in-place loops. Intentional divergence (reference bug, not
+    replicated): the reference remaps value 6 -> train id 3 and THEN
+    remaps value 3 -> 4, so pixels originally labeled 6 (its 'wall'
+    source class) end up as train id 4 instead of 3; the LUT applies the
+    intended map atomically (6 -> 3, 3 -> 4)."""
 
     _MAP = [[13, 24, 41], [2, 15], [17], [6], [3], [45, 47], [48], [50],
             [30], [29], [27], [19], [20, 21, 22], [55], [61], [54], [58],
@@ -176,17 +341,16 @@ class RandomFlip:
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, results):
-        flip = results.get("flip")
-        if flip is None:
-            flip = bool(self.rng.random() < self.prob)
-        results["flip"] = flip
-        results["flip_direction"] = self.direction
-        if flip:
-            axis = 1 if self.direction == "horizontal" else 0
+        # preset flip/flip_direction win (how MultiScaleFlipAug drives it)
+        if "flip" not in results:
+            results["flip"] = bool(self.rng.random() < self.prob)
+        if "flip_direction" not in results:
+            results["flip_direction"] = self.direction
+        if results["flip"]:
+            axis = 1 if results["flip_direction"] == "horizontal" else 0
             results["img"] = np.flip(results["img"], axis=axis).copy()
-            if "gt_semantic_seg" in results:
-                results["gt_semantic_seg"] = np.flip(
-                    results["gt_semantic_seg"], axis=axis).copy()
+            for key in _seg_keys(results):
+                results[key] = np.flip(results[key], axis=axis).copy()
         return results
 
 
@@ -214,11 +378,13 @@ class Pad:
         if ph or pw:
             results["img"] = np.pad(
                 img, ((0, ph), (0, pw), (0, 0)), constant_values=self.pad_val)
-            if "gt_semantic_seg" in results:
-                results["gt_semantic_seg"] = np.pad(
-                    results["gt_semantic_seg"], ((0, ph), (0, pw)),
+            for key in _seg_keys(results):
+                results[key] = np.pad(
+                    results[key], ((0, ph), (0, pw)),
                     constant_values=self.seg_pad_val)
-        results["pad_shape"] = (th, tw)
+        results["pad_shape"] = results["img"].shape
+        results["pad_fixed_size"] = self.size
+        results["pad_size_divisor"] = self.size_divisor
         return results
 
 
@@ -232,8 +398,12 @@ class Normalize:
         self.to_rgb = to_rgb
 
     def __call__(self, results):
+        # mmcv.imnormalize numerics: f32 image, f64 mean subtracted, then
+        # MULTIPLY by the f64-computed reciprocal of std (not divide)
         img = results["img"].astype(np.float32)
-        results["img"] = (img - self.mean) / self.std
+        img = img - np.float32(np.float64(self.mean))
+        img = img * np.float32(1.0 / np.float64(self.std))
+        results["img"] = img
         results["img_norm_cfg"] = dict(mean=self.mean, std=self.std,
                                        to_rgb=self.to_rgb)
         return results
@@ -248,9 +418,10 @@ class Rerange:
         self.max_value = max_value
 
     def __call__(self, results):
-        img = results["img"].astype(np.float32)
-        lo, hi = img.min(), img.max()
-        img = (img - lo) / max(hi - lo, 1e-12)
+        img = results["img"]
+        lo, hi = np.min(img), np.max(img)
+        assert lo < hi  # reference precondition (`transforms.py:659`)
+        img = (img - lo) / (hi - lo)
         results["img"] = img * (self.max_value - self.min_value) \
             + self.min_value
         return results
@@ -258,52 +429,24 @@ class Rerange:
 
 class CLAHE:
     """`transforms.py:679-722`: contrast-limited adaptive histogram
-    equalization (numpy re-implementation of the classic tiled algorithm;
-    the reference calls mmcv.clahe/OpenCV)."""
+    equalization. The reference's ``mmcv.clahe`` is
+    ``cv2.createCLAHE(clip_limit, tile_grid_size).apply`` per channel,
+    each channel cast to uint8 first and assigned back into the existing
+    image array (preserving its dtype) — reproduced bit-for-bit here
+    (on a copy: the reference mutates the caller's array in place)."""
 
     def __init__(self, clip_limit: float = 40.0,
                  tile_grid_size: Tuple[int, int] = (8, 8)):
         self.clip_limit = clip_limit
-        self.tile_grid_size = tile_grid_size
-
-    def _tile_lut(self, tile: np.ndarray) -> np.ndarray:
-        hist = np.bincount(tile.ravel(), minlength=256).astype(np.float64)
-        clip = max(self.clip_limit * tile.size / 256.0, 1.0)
-        excess = np.maximum(hist - clip, 0).sum()
-        hist = np.minimum(hist, clip) + excess / 256.0
-        cdf = np.cumsum(hist)
-        return np.clip(np.round(cdf * 255.0 / max(cdf[-1], 1e-12)),
-                       0, 255)
+        self.tile_grid_size = tuple(tile_grid_size)
 
     def __call__(self, results):
-        img = results["img"].astype(np.uint8)
-        gy, gx = self.tile_grid_size
-        out = np.empty_like(img, np.float64)
-        for c in range(img.shape[-1]):
-            ch = img[..., c]
-            h, w = ch.shape
-            ys = np.linspace(0, h, gy + 1).astype(int)
-            xs = np.linspace(0, w, gx + 1).astype(int)
-            luts = np.stack([
-                np.stack([self._tile_lut(ch[ys[i]:ys[i + 1],
-                                            xs[j]:xs[j + 1]])
-                          for j in range(gx)]) for i in range(gy)])
-            cy = (ys[:-1] + ys[1:]) / 2.0
-            cx = (xs[:-1] + xs[1:]) / 2.0
-            fy = np.interp(np.arange(h), cy, np.arange(gy))
-            fx = np.interp(np.arange(w), cx, np.arange(gx))
-            y0 = np.clip(np.floor(fy).astype(int), 0, gy - 1)
-            x0 = np.clip(np.floor(fx).astype(int), 0, gx - 1)
-            y1 = np.minimum(y0 + 1, gy - 1)
-            x1 = np.minimum(x0 + 1, gx - 1)
-            wy = (fy - y0)[:, None]
-            wx = (fx - x0)[None, :]
-            v = ch[np.arange(h)[:, None], np.arange(w)[None, :]]
-            g = lambda yy, xx: luts[yy[:, None], xx[None, :], v]
-            out[..., c] = ((1 - wy) * ((1 - wx) * g(y0, x0)
-                                       + wx * g(y0, x1))
-                           + wy * ((1 - wx) * g(y1, x0) + wx * g(y1, x1)))
-        results["img"] = out.astype(np.uint8)
+        img = results["img"].copy()
+        clahe = cv2.createCLAHE(self.clip_limit, self.tile_grid_size)
+        for i in range(img.shape[2]):
+            img[:, :, i] = clahe.apply(
+                np.array(img[:, :, i], dtype=np.uint8))
+        results["img"] = img
         return results
 
 
@@ -341,10 +484,10 @@ class RandomCrop:
                 y, x = self._bbox(img)
         results["img"] = img[y:y + self.crop_size[0],
                              x:x + self.crop_size[1]]
-        if seg is not None:
-            results["gt_semantic_seg"] = seg[y:y + self.crop_size[0],
-                                             x:x + self.crop_size[1]]
-        results["img_shape"] = results["img"].shape[:2]
+        results["img_shape"] = results["img"].shape
+        for key in _seg_keys(results):
+            results[key] = results[key][y:y + self.crop_size[0],
+                                        x:x + self.crop_size[1]]
         return results
 
 
@@ -360,37 +503,46 @@ class CenterCrop:
         x = max((img.shape[1] - self.crop_size[1]) // 2, 0)
         results["img"] = img[y:y + self.crop_size[0],
                              x:x + self.crop_size[1]]
-        if "gt_semantic_seg" in results:
-            results["gt_semantic_seg"] = results["gt_semantic_seg"][
-                y:y + self.crop_size[0], x:x + self.crop_size[1]]
-        results["img_shape"] = results["img"].shape[:2]
+        results["img_shape"] = results["img"].shape
+        for key in _seg_keys(results):
+            results[key] = results[key][y:y + self.crop_size[0],
+                                        x:x + self.crop_size[1]]
         return results
 
 
 class RandomRotate:
-    """`transforms.py:855-936`: rotate by a uniform angle with prob;
-    nearest for seg, border filled with pad values."""
+    """`transforms.py:855-936`: rotate by a uniform angle with prob via
+    ``mmcv.imrotate`` (cv2.warpAffine, positive angle clockwise, center
+    ``((w-1)/2, (h-1)/2)``); bilinear for img, nearest for seg, borders
+    filled with the pad values. The reference draws the angle even when
+    the prob gate fails (stream parity kept)."""
 
-    def __init__(self, prob: float, degree: float, pad_val: float = 0,
-                 seg_pad_val: int = 255, rng=None):
+    def __init__(self, prob: float, degree, pad_val: float = 0,
+                 seg_pad_val: int = 255, center=None,
+                 auto_bound: bool = False, rng=None):
         self.prob = prob
-        self.degree = (-degree, degree) if np.isscalar(degree) else degree
+        self.degree = (-degree, degree) if np.isscalar(degree) \
+            else tuple(degree)
+        assert len(self.degree) == 2
         self.pad_val = pad_val
         self.seg_pad_val = seg_pad_val
+        self.center = center
+        self.auto_bound = auto_bound
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, results):
-        if self.rng.random() >= self.prob:
-            return results
-        angle = float(self.rng.uniform(*self.degree))
-        img = Image.fromarray(results["img"].astype(np.uint8))
-        results["img"] = np.asarray(img.rotate(
-            -angle, Image.BILINEAR, fillcolor=int(self.pad_val)))
-        if "gt_semantic_seg" in results:
-            seg = Image.fromarray(
-                results["gt_semantic_seg"].astype(np.uint8))
-            results["gt_semantic_seg"] = np.asarray(seg.rotate(
-                -angle, Image.NEAREST, fillcolor=self.seg_pad_val))
+        rotate = self.rng.random() < self.prob
+        angle = float(self.rng.uniform(min(*self.degree),
+                                       max(*self.degree)))
+        if rotate:
+            results["img"] = _imrotate(
+                results["img"], angle, center=self.center,
+                border_value=self.pad_val, auto_bound=self.auto_bound)
+            for key in _seg_keys(results):
+                results[key] = _imrotate(
+                    results[key], angle, center=self.center,
+                    border_value=self.seg_pad_val,
+                    auto_bound=self.auto_bound, interpolation="nearest")
         return results
 
 
@@ -401,13 +553,16 @@ class RGB2Gray:
     def __init__(self, out_channels: Optional[int] = None,
                  weights=(0.299, 0.587, 0.114)):
         self.out_channels = out_channels
-        self.weights = np.asarray(weights, np.float32)
+        self.weights = np.asarray(weights)  # float64, reference math
 
     def __call__(self, results):
-        img = results["img"].astype(np.float32)
-        gray = (img[..., :3] * self.weights).sum(-1, keepdims=True)
-        n = self.out_channels or img.shape[-1]
-        results["img"] = np.repeat(gray, n, axis=-1)
+        img = results["img"]
+        assert img.ndim == 3 and img.shape[2] == len(self.weights)
+        # float64 result like the reference (uint8 * float list)
+        gray = (img * self.weights.reshape(1, 1, -1)).sum(2, keepdims=True)
+        n = self.out_channels or len(self.weights)
+        results["img"] = gray.repeat(n, axis=2)
+        results["img_shape"] = results["img"].shape
         return results
 
 
@@ -432,111 +587,135 @@ class SegRescale:
         self.scale_factor = scale_factor
 
     def __call__(self, results):
-        if self.scale_factor != 1.0 and "gt_semantic_seg" in results:
-            seg = results["gt_semantic_seg"]
-            size = (int(seg.shape[0] * self.scale_factor),
-                    int(seg.shape[1] * self.scale_factor))
-            results["gt_semantic_seg"] = _resize_img(seg, size, nearest=True)
+        for key in _seg_keys(results):
+            if self.scale_factor != 1:
+                results[key] = _imrescale(results[key], self.scale_factor,
+                                          interpolation="nearest")
         return results
 
 
 class PhotoMetricDistortion:
-    """`transforms.py` PhotoMetricDistortion: random brightness, contrast
-    (random order), saturation and hue in HSV space."""
+    """`transforms.py:1099-1216` PhotoMetricDistortion, bit-faithful:
+    a uint8 pipeline where every step clips back to uint8 (``convert``),
+    saturation/hue work in cv2's integer HSV (H in 0..179, S 0..255), the
+    hue shift is an integer add mod 180, and contrast runs either right
+    after brightness (mode 1 in the code) or last (mode 0). Images here
+    are RGB; cv2's RGB2HSV on RGB equals the reference's BGR2HSV on its
+    BGR-loaded images (the conversion is channel-semantic)."""
 
     def __init__(self, brightness_delta: int = 32,
                  contrast_range=(0.5, 1.5), saturation_range=(0.5, 1.5),
                  hue_delta: int = 18, rng=None):
         self.brightness_delta = brightness_delta
-        self.contrast_range = contrast_range
-        self.saturation_range = saturation_range
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
         self.hue_delta = hue_delta
         self.rng = rng or np.random.default_rng()
 
     @staticmethod
-    def _rgb_to_hsv(img):
-        import colorsys  # noqa: F401  (documentation pointer)
-        r, g, b = img[..., 0], img[..., 1], img[..., 2]
-        mx = img.max(-1)
-        mn = img.min(-1)
-        df = mx - mn
-        h = np.zeros_like(mx)
-        m = df > 0
-        rm = m & (mx == r)
-        gm = m & (mx == g) & ~rm
-        bm = m & ~rm & ~gm
-        h[rm] = (60 * ((g - b) / np.where(df == 0, 1, df)) % 360)[rm]
-        h[gm] = (60 * ((b - r) / np.where(df == 0, 1, df)) + 120)[gm]
-        h[bm] = (60 * ((r - g) / np.where(df == 0, 1, df)) + 240)[bm]
-        s = np.where(mx == 0, 0, df / np.where(mx == 0, 1, mx))
-        return h, s, mx
+    def convert(img, alpha=1, beta=0):
+        img = img.astype(np.float32) * alpha + beta
+        return np.clip(img, 0, 255).astype(np.uint8)
 
-    @staticmethod
-    def _hsv_to_rgb(h, s, v):
-        h = (h % 360) / 60.0
-        i = np.floor(h).astype(int) % 6
-        f = h - np.floor(h)
-        p = v * (1 - s)
-        q = v * (1 - f * s)
-        t = v * (1 - (1 - f) * s)
-        choices = [np.stack(c, -1) for c in
-                   [(v, t, p), (q, v, p), (p, v, t),
-                    (p, q, v), (t, p, v), (v, p, q)]]
-        out = np.zeros(h.shape + (3,), np.float32)
-        for k, c in enumerate(choices):
-            out[i == k] = c[i == k]
-        return out
+    def brightness(self, img):
+        if self.rng.integers(2):
+            return self.convert(
+                img, beta=self.rng.uniform(-self.brightness_delta,
+                                           self.brightness_delta))
+        return img
+
+    def contrast(self, img):
+        if self.rng.integers(2):
+            return self.convert(
+                img, alpha=self.rng.uniform(self.contrast_lower,
+                                            self.contrast_upper))
+        return img
+
+    def saturation(self, img):
+        if self.rng.integers(2):
+            hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+            hsv[:, :, 1] = self.convert(
+                hsv[:, :, 1],
+                alpha=self.rng.uniform(self.saturation_lower,
+                                       self.saturation_upper))
+            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+        return img
+
+    def hue(self, img):
+        if self.rng.integers(2):
+            hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+            hsv[:, :, 0] = (hsv[:, :, 0].astype(int) + int(
+                self.rng.integers(-self.hue_delta, self.hue_delta))) % 180
+            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+        return img
 
     def __call__(self, results):
-        img = results["img"].astype(np.float32)
-        r = self.rng
-        if r.integers(2):
-            img = img + r.uniform(-self.brightness_delta,
-                                  self.brightness_delta)
-        contrast_last = bool(r.integers(2))
-        if not contrast_last and r.integers(2):
-            img = img * r.uniform(*self.contrast_range)
-        sat_flag, hue_flag = bool(r.integers(2)), bool(r.integers(2))
-        if sat_flag or hue_flag:
-            h, s, v = self._rgb_to_hsv(np.clip(img, 0, 255) / 255.0)
-            if sat_flag:
-                s = np.clip(s * r.uniform(*self.saturation_range), 0, 1)
-            if hue_flag:
-                h = h + r.uniform(-self.hue_delta, self.hue_delta) * 2
-            img = self._hsv_to_rgb(h, s, v) * 255.0
-        if contrast_last and r.integers(2):
-            img = img * r.uniform(*self.contrast_range)
-        results["img"] = np.clip(img, 0, 255).astype(np.uint8)
+        img = results["img"]
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        img = self.brightness(img)
+        mode = int(self.rng.integers(2))
+        if mode == 1:
+            img = self.contrast(img)
+        img = self.saturation(img)
+        img = self.hue(img)
+        if mode == 0:
+            img = self.contrast(img)
+        results["img"] = img
         return results
 
 
 class MultiScaleFlipAug:
-    """`pipelines/test_time_aug.py`: expand one sample into the TTA set
-    (scales x flips), each run through the inner transforms."""
+    """`pipelines/test_time_aug.py`: expand one sample into the TTA set.
+    The reference contract: the inner ``transforms`` list contains the
+    ``Resize``/``RandomFlip`` steps (mmseg test-config convention), and
+    this wrapper drives them by presetting ``scale``/``flip``/
+    ``flip_direction`` per view. Scale modes: ``img_scale=None`` +
+    ``img_ratios`` uses the image's own ``(w*r, h*r)``; a single scale +
+    ratios multiplies it out; a scale list is taken verbatim.
+    ``flip_direction`` may be a list (each direction is its own view).
+    Returns the reference's dict-of-lists (one list entry per view)."""
 
-    def __init__(self, transforms: Sequence[Callable],
-                 img_scale, img_ratios=None, flip: bool = False,
-                 flip_direction="horizontal"):
+    def __init__(self, transforms: Sequence, img_scale, img_ratios=None,
+                 flip: bool = False, flip_direction="horizontal"):
         self.transforms = Compose(transforms)
-        scales = img_scale if isinstance(img_scale, list) else [img_scale]
-        if img_ratios is not None:
-            base = scales[0]
-            scales = [(int(base[0] * r), int(base[1] * r))
-                      for r in img_ratios]
-        self.scales = scales
-        self.flips = [False] + ([True] if flip else [])
-        self.flip_direction = flip_direction
+        if img_ratios is not None and not isinstance(img_ratios, list):
+            img_ratios = [img_ratios]
+        if img_scale is None:
+            self.img_scale = None
+            assert img_ratios is not None
+        elif isinstance(img_scale, tuple) and img_ratios is not None:
+            self.img_scale = [(int(img_scale[0] * r),
+                               int(img_scale[1] * r)) for r in img_ratios]
+        else:
+            self.img_scale = img_scale if isinstance(img_scale, list) \
+                else [img_scale]
+        self.flip = flip
+        self.img_ratios = img_ratios
+        self.flip_direction = flip_direction if isinstance(
+            flip_direction, list) else [flip_direction]
 
     def __call__(self, results):
-        out = []
-        for scale in self.scales:
-            for flip in self.flips:
-                r = {k: (v.copy() if isinstance(v, np.ndarray) else v)
-                     for k, v in results.items()}
-                r = Resize(img_scale=scale, keep_ratio=True)(r)
-                r["flip"] = flip
-                r = RandomFlip(direction=self.flip_direction)(r)
-                out.append(self.transforms(r))
+        if self.img_scale is None:
+            h, w = results["img"].shape[:2]
+            img_scale = [(int(w * r), int(h * r)) for r in self.img_ratios]
+        else:
+            img_scale = self.img_scale
+        aug_data = []
+        for scale in img_scale:
+            for flip in ([False, True] if self.flip else [False]):
+                for direction in self.flip_direction:
+                    r = {k: (v.copy() if isinstance(v, np.ndarray) else v)
+                         for k, v in results.items()}
+                    r["scale"] = scale
+                    r["flip"] = flip
+                    r["flip_direction"] = direction
+                    aug_data.append(self.transforms(r))
+        # list of dict -> dict of list (`test_time_aug.py:119-123`)
+        out = {key: [] for key in aug_data[0]}
+        for data in aug_data:
+            for key, val in data.items():
+                out[key].append(val)
         return out
 
 
@@ -588,8 +767,8 @@ class CustomDataset:
         img = np.asarray(Image.open(
             os.path.join(self.img_dir, stem + self.img_suffix)
         ).convert("RGB"))
-        results = dict(img=img, ori_shape=img.shape[:2],
-                       img_shape=img.shape[:2], filename=stem)
+        results = dict(img=img, ori_shape=img.shape, img_shape=img.shape,
+                       filename=stem, seg_fields=[])
         if self.ann_dir is not None:
             seg = np.asarray(Image.open(os.path.join(
                 self.ann_dir, stem + self.seg_map_suffix)))
@@ -601,6 +780,7 @@ class CustomDataset:
                 # map them back to the ignore index
                 seg[seg == 254] = 255
             results["gt_semantic_seg"] = seg
+            results["seg_fields"].append("gt_semantic_seg")
         return results
 
     def __getitem__(self, idx: int):

@@ -133,22 +133,27 @@ def aug_test_segmentor(model, variables, img, *,
     int32 label map. Each distinct view shape compiles once (static
     shapes); repeat calls at the same image size reuse the programs.
     """
-    from ...data.pipeline import MultiScaleFlipAug, Normalize
+    from ...data.pipeline import (MultiScaleFlipAug, Normalize, RandomFlip,
+                                  Resize)
     from .layers import resize as _resize
 
     img = np.asarray(img)
     h, w = img.shape[:2]
+    # mmseg test-config shape: the TTA wrapper presets scale/flip per
+    # view and the inner transforms do the work (`test_time_aug.py`)
     tta = MultiScaleFlipAug(
-        transforms=[Normalize(mean, std)], img_scale=(h, w),
-        img_ratios=list(img_ratios), flip=flip,
+        transforms=[Resize(keep_ratio=True), RandomFlip(),
+                    Normalize(mean, std)],
+        img_scale=None, img_ratios=list(img_ratios), flip=flip,
         flip_direction=flip_direction)
     views = tta({"img": img})
     if dtype is not None:
         variables = cast_variables(variables, dtype)
     run = _runner(model, mode, crop, stride)
     acc = None
-    for view in views:
-        x = jnp.asarray(view["img"][None])
+    for x_np, flipped, direction in zip(
+            views["img"], views["flip"], views["flip_direction"]):
+        x = jnp.asarray(x_np[None])
         if dtype is not None:
             x = x.astype(dtype)
         logits = run(variables, x)
@@ -156,8 +161,8 @@ def aug_test_segmentor(model, variables, img, *,
         # the reference's exact order (`encoder_decoder.py:216-261`)
         logits = _resize(logits.astype(jnp.float32), (h, w))
         prob = jax.nn.softmax(logits, axis=-1)
-        if view.get("flip"):
-            axis = 2 if view["flip_direction"] == "horizontal" else 1
+        if flipped:
+            axis = 2 if direction == "horizontal" else 1
             prob = jnp.flip(prob, axis=axis)
         acc = prob if acc is None else acc + prob
     return np.asarray(jnp.argmax(acc[0], axis=-1).astype(jnp.int32))

@@ -24,15 +24,34 @@ def test_resize_keep_ratio():
     r = Resize(img_scale=(40, 60), keep_ratio=True)(sample())
     assert r["img"].shape == (40, 60, 3)
     assert r["gt_semantic_seg"].shape == (40, 60)
+    # non-keep-ratio scale is an mmcv (w, h) size (`transforms.py:416`)
     r2 = Resize(img_scale=(50, 35), keep_ratio=False)(sample())
-    assert r2["img"].shape == (50, 35, 3)
+    assert r2["img"].shape == (35, 50, 3)
 
 
 def test_resize_ratio_range_deterministic():
     rng = np.random.default_rng(1)
     r = Resize(img_scale=(20, 30), ratio_range=(2.0, 2.0), rng=rng)(sample())
     assert r["img"].shape == (40, 60, 3)
-    assert r["scale_factor"] == (2.0, 2.0)
+    # mmseg convention: scale_factor = [w_scale, h_scale, w_scale, h_scale]
+    np.testing.assert_allclose(r["scale_factor"], [2.0, 2.0, 2.0, 2.0])
+
+
+def test_resize_multiscale_modes():
+    # mode 4 ('value'): pick one of the candidate scales
+    rng = np.random.default_rng(0)
+    shapes = set()
+    for _ in range(8):
+        r = Resize(img_scale=[(40, 60), (20, 30)],
+                   multiscale_mode="value", rng=rng)(sample())
+        shapes.add(r["img"].shape[:2])
+    assert shapes == {(40, 60), (20, 30)}
+    # mode 3 ('range'): sampled long/short edges stay inside the bounds
+    for _ in range(8):
+        r = Resize(img_scale=[(40, 60), (20, 30)],
+                   multiscale_mode="range", rng=rng)(sample())
+        h, w = r["img"].shape[:2]
+        assert 20 <= h <= 40 and 30 <= w <= 60
 
 
 def test_random_flip_respects_preset():
@@ -120,12 +139,18 @@ def test_clahe_increases_local_contrast():
 
 
 def test_multi_scale_flip_aug():
-    tta = MultiScaleFlipAug(transforms=[Normalize([0] * 3, [1] * 3)],
-                            img_scale=(20, 30), img_ratios=[1.0, 2.0],
-                            flip=True)
+    # reference contract: Resize/RandomFlip live in the inner transforms,
+    # driven by preset scale/flip; the output is a dict of lists
+    tta = MultiScaleFlipAug(
+        transforms=[Resize(keep_ratio=True), RandomFlip(),
+                    Normalize([0] * 3, [1] * 3)],
+        img_scale=None, img_ratios=[1.0, 2.0], flip=True)
     outs = tta(sample())
-    assert len(outs) == 4  # 2 scales x (no-flip, flip)
-    assert outs[2]["img"].shape == (40, 60, 3)
+    assert len(outs["img"]) == 4  # 2 scales x (no-flip, flip)
+    assert outs["img"][2].shape == (40, 60, 3)
+    assert outs["flip"] == [False, True, False, True]
+    # flipped view = un-flipped view mirrored
+    np.testing.assert_allclose(outs["img"][3], outs["img"][2][:, ::-1])
 
 
 @pytest.fixture

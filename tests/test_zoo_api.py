@@ -93,7 +93,8 @@ def test_aug_test_tta_matches_reference_math(rng):
     import jax.numpy as jnp
     from aadg_tpu.models.zoo.api import aug_test_segmentor
     from aadg_tpu.models.zoo.layers import resize
-    from aadg_tpu.data.pipeline import MultiScaleFlipAug, Normalize
+    from aadg_tpu.data.pipeline import (MultiScaleFlipAug, Normalize,
+                                        RandomFlip, Resize)
     from aadg_tpu.models.zoo.api import IMAGENET_MEAN, IMAGENET_STD
 
     model, variables = init_segmentor("fcn", "cgnet", num_classes=4,
@@ -111,17 +112,17 @@ def test_aug_test_tta_matches_reference_math(rng):
     got = aug_test_segmentor(model, variables, img, img_ratios=ratios,
                              flip=True)
     views = MultiScaleFlipAug(
-        transforms=[Normalize(IMAGENET_MEAN, IMAGENET_STD)],
-        img_scale=(h, w), img_ratios=list(ratios),
+        transforms=[Resize(keep_ratio=True), RandomFlip(),
+                    Normalize(IMAGENET_MEAN, IMAGENET_STD)],
+        img_scale=None, img_ratios=list(ratios),
         flip=True)({"img": img})
-    assert len(views) == 6  # 3 scales x (no-flip, flip)
+    assert len(views["img"]) == 6  # 3 scales x (no-flip, flip)
     acc = None
-    for view in views:
-        logits, _ = model.apply(variables,
-                                jnp.asarray(view["img"][None]),
+    for x_np, flipped in zip(views["img"], views["flip"]):
+        logits, _ = model.apply(variables, jnp.asarray(x_np[None]),
                                 train=False)
         prob = jax.nn.softmax(resize(logits, (h, w)), axis=-1)
-        if view["flip"]:
+        if flipped:
             prob = jnp.flip(prob, axis=2)
         acc = prob if acc is None else acc + prob
     want = np.asarray(jnp.argmax(acc[0], -1))
