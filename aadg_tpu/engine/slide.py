@@ -42,6 +42,10 @@ def slide_inference(forward_fn: Callable, images: jnp.ndarray,
     b, h, w, c = images.shape
     ch, cw = crop
     sh, sw = stride
+    # reference edge case (`encoder_decoder.py:171-173`): a crop larger
+    # than the image decodes the small patch unpadded — i.e. the single
+    # window IS the whole image on that axis
+    ch, cw = min(ch, h), min(cw, w)
     ys = _grid_starts(h, ch, sh)
     xs = _grid_starts(w, cw, sw)
 

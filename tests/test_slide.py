@@ -52,3 +52,20 @@ def test_small_image_single_window():
 
     out = slide_inference(fwd, imgs, (16, 16), (8, 8), 1)
     assert out.shape == (1, 16, 16, 1)
+
+
+def test_crop_larger_than_image_decodes_small_patch():
+    """Reference edge case (`encoder_decoder.py:171-178`): when the crop
+    exceeds the image, the window IS the (smaller) image — no padding."""
+    imgs = jnp.ones((1, 20, 48, 1))
+    shapes = []
+
+    def fwd(windows):
+        shapes.append(windows.shape)
+        return windows[..., :1] * 2.0
+
+    out = slide_inference(fwd, imgs, (32, 32), (24, 24), 1)
+    assert out.shape == (1, 20, 48, 1)
+    # crop clamps to 20 on H; W keeps 32 with a flush second window
+    assert all(s[1] == 20 and s[2] == 32 for s in shapes)
+    np.testing.assert_allclose(np.asarray(out), 2.0)
