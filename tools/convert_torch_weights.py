@@ -21,6 +21,18 @@ disk, covering every backbone family the zoo implements:
 Usage:
     python tools/convert_torch_weights.py --arch resnet50 in.pth out.msgpack
 
+Full mmseg segmentor checkpoints (backbone + decode head, e.g. the
+published pspnet/deeplabv3(+)/fcn/upernet/ocrnet releases) convert in one
+shot into `zoo.builder.build_segmentor` variables, directly loadable by
+``zoo.api.init_segmentor(checkpoint=...)``:
+
+    python tools/convert_torch_weights.py --segmentor pspnet \\
+        --backbone resnet50_v1c pspnet_r50.pth out.msgpack
+
+Auxiliary heads (train-time deep supervision) are dropped and reported.
+Note: the mobilenet_v3 backbone converters consume TORCHVISION naming —
+mmseg's own MNv3 checkpoints (mmcv layer naming) are not auto-mapped.
+
 The output msgpack holds ``{"params": ..., "batch_stats": ...}`` keyed by
 the flax module names; ``aadg_tpu.utils.pretrained.load_pretrained`` grafts
 it into a freshly-initialized model (config: ``TPU.PRETRAINED``).
@@ -403,6 +415,173 @@ def convert_unet(sd, num_stages=5):
     return m.done()
 
 
+# ---------------------------------------------------------------------------
+# Full mmseg segmentor checkpoints (backbone + decode head -> the exact
+# variables tree `zoo.builder.build_segmentor` initializes). Decode-head
+# key layouts follow `models/mmseg/models/decode_heads/*.py`; auxiliary
+# heads are train-time deep supervision only and are dropped for
+# inference conversion (reported to the caller).
+# ---------------------------------------------------------------------------
+
+def _cm(m, dst, src):
+    """mmcv ConvModule `src.{conv,bn}` -> zoo ConvModule `dst/{conv,bn}`."""
+    m.conv(dst + ["conv"], src + ".conv.weight")
+    m.bn(dst + ["bn"], src + ".bn")
+
+
+def _dscm(m, dst, src):
+    """mmcv DepthwiseSeparableConvModule -> zoo DS module naming."""
+    m.conv(dst + ["depthwise"], src + ".depthwise_conv.conv.weight")
+    m.bn(dst + ["dw_bn"], src + ".depthwise_conv.bn")
+    m.conv(dst + ["pointwise"], src + ".pointwise_conv.conv.weight")
+    m.bn(dst + ["pw_bn"], src + ".pointwise_conv.bn")
+
+
+def _cls(m):
+    """BaseDecodeHead classifier `conv_seg` (with bias) -> cls/conv_seg."""
+    m.conv(["cls", "conv_seg"], "conv_seg.weight", bias=True)
+
+
+def _count(sd, fmt):
+    n = 0
+    while fmt.format(n) in sd:
+        n += 1
+    return n
+
+
+def convert_fcn_head(sd):
+    """`fcn_head.py`: convs.{i} (+ conv_cat when concat_input)."""
+    m = _Mapper(sd)
+    for i in range(_count(sd, "convs.{}.conv.weight")):
+        _cm(m, [f"convs_{i}"], f"convs.{i}")
+    if "conv_cat.conv.weight" in sd:
+        _cm(m, ["conv_cat"], "conv_cat")
+    _cls(m)
+    return m.done()
+
+
+def convert_psp_head(sd):
+    """`psp_head.py`: psp_modules.{i}.1 (index 0 = AdaptiveAvgPool)."""
+    m = _Mapper(sd)
+    for i in range(_count(sd, "psp_modules.{}.1.conv.weight")):
+        _cm(m, ["ppm", f"pool_{i}"], f"psp_modules.{i}.1")
+    _cm(m, ["bottleneck"], "bottleneck")
+    _cls(m)
+    return m.done()
+
+
+def convert_aspp_head(sd):
+    """`aspp_head.py` + `sep_aspp_head.py`: image_pool.1, aspp_modules
+    (plain ConvModule or DepthwiseSeparable, auto-detected per branch),
+    bottleneck, optional c1_bottleneck/sep_bottleneck (deeplabv3plus)."""
+    m = _Mapper(sd)
+    _cm(m, ["image_pool"], "image_pool.1")
+    i = 0
+    while True:
+        if f"aspp_modules.{i}.conv.weight" in sd:
+            _cm(m, ["aspp", f"branch_{i}"], f"aspp_modules.{i}")
+        elif f"aspp_modules.{i}.depthwise_conv.conv.weight" in sd:
+            _dscm(m, ["aspp", f"branch_{i}"], f"aspp_modules.{i}")
+        else:
+            break
+        i += 1
+    _cm(m, ["bottleneck"], "bottleneck")
+    if "c1_bottleneck.conv.weight" in sd:
+        _cm(m, ["c1_bottleneck"], "c1_bottleneck")
+    j = 0
+    while f"sep_bottleneck.{j}.depthwise_conv.conv.weight" in sd:
+        _dscm(m, [f"sep_bottleneck_{j}"], f"sep_bottleneck.{j}")
+        j += 1
+    _cls(m)
+    return m.done()
+
+
+def convert_uper_head(sd):
+    """`uper_head.py`: PPM + (psp) bottleneck + lateral/fpn convs +
+    fpn_bottleneck."""
+    m = _Mapper(sd)
+    for i in range(_count(sd, "psp_modules.{}.1.conv.weight")):
+        _cm(m, ["ppm", f"pool_{i}"], f"psp_modules.{i}.1")
+    _cm(m, ["psp_bottleneck"], "bottleneck")
+    for i in range(_count(sd, "lateral_convs.{}.conv.weight")):
+        _cm(m, [f"lateral_{i}"], f"lateral_convs.{i}")
+    for i in range(_count(sd, "fpn_convs.{}.conv.weight")):
+        _cm(m, [f"fpn_conv_{i}"], f"fpn_convs.{i}")
+    _cm(m, ["fpn_bottleneck"], "fpn_bottleneck")
+    _cls(m)
+    return m.done()
+
+
+def convert_ocr_head(sd):
+    """`ocr_head.py`: bottleneck + ObjectAttentionBlock (2-conv key/query
+    projections, 1-conv value/out, its own 1x1 bottleneck)."""
+    m = _Mapper(sd)
+    _cm(m, ["bottleneck"], "bottleneck")
+    ocb = "object_context_block"
+    _cm(m, ["oab_bottleneck"], f"{ocb}.bottleneck")
+    for proj, n in (("key_project", 2), ("query_project", 2),
+                    ("value_project", 1), ("out_project", 1)):
+        for i in range(n):
+            _cm(m, ["object_attention", f"{proj}_{i}"], f"{ocb}.{proj}.{i}")
+    _cls(m)
+    return m.done()
+
+
+HEAD_CONVERTERS = {
+    "fcn": convert_fcn_head,
+    "pspnet": convert_psp_head,
+    "deeplabv3": convert_aspp_head,
+    "deeplabv3plus": convert_aspp_head,
+    "upernet": convert_uper_head,
+}
+
+# zoo builder backbone name -> backbone state-dict converter
+ZOO_BACKBONES = {
+    "resnet50_v1c": lambda sd: convert_resnet(sd, 50),
+    "resnet101_v1c": lambda sd: convert_resnet(sd, 101),
+    "resnext50": lambda sd: convert_resnet(sd, 50, "resnext"),
+    "resnext101": lambda sd: convert_resnet(sd, 101, "resnext"),
+    "resnest50": lambda sd: convert_resnet(sd, 50, "resnest"),
+    "resnest101": lambda sd: convert_resnet(sd, 101, "resnest"),
+    "hrnet_w18": convert_hrnet,
+    "hrnet_w32": convert_hrnet,
+    "hrnet_w48": convert_hrnet,
+    "mobilenet_v3_large": lambda sd: convert_mobilenet_v3(sd, "large"),
+    "mobilenet_v3_small": lambda sd: convert_mobilenet_v3(sd, "small"),
+    "unet_s5_d16": convert_unet,
+}
+
+
+def _subdict(sd, prefix):
+    return {k[len(prefix):]: v for k, v in sd.items()
+            if k.startswith(prefix)}
+
+
+def convert_segmentor(state_dict, arch, backbone):
+    """mmseg checkpoint -> ``{"params", "batch_stats"}`` loadable into
+    ``build_segmentor(arch, backbone, num_classes)`` variables.
+
+    Returns ``(variables, dropped)`` where dropped lists top-level torch
+    prefixes not carried over (auxiliary heads; anything unrecognized)."""
+    bb_sd = _subdict(state_dict, "backbone.")
+    head_sd = _subdict(state_dict, "decode_head.")
+    bp, bs = ZOO_BACKBONES[backbone](bb_sd)
+    params, stats = {"backbone": bp}, {"backbone": bs}
+    if arch == "ocrnet":
+        # CascadeEncoderDecoder: decode_head is a ModuleList — .0 is the
+        # FCN stage, .1 the OCR refiner (`cascade_encoder_decoder.py`)
+        hp, hs = convert_fcn_head(_subdict(head_sd, "0."))
+        params["decode_head"], stats["decode_head"] = hp, hs
+        op, os_ = convert_ocr_head(_subdict(head_sd, "1."))
+        params["cascade_heads_0"], stats["cascade_heads_0"] = op, os_
+    else:
+        hp, hs = HEAD_CONVERTERS[arch](head_sd)
+        params["decode_head"], stats["decode_head"] = hp, hs
+    dropped = sorted({k.split(".")[0] for k in state_dict
+                      if not k.startswith(("backbone.", "decode_head."))})
+    return {"params": params, "batch_stats": stats}, dropped
+
+
 ARCHS = {
     "mobilenet_v2": lambda sd: convert(sd),
     "resnet50": lambda sd: convert_resnet(sd, 50),
@@ -433,6 +612,13 @@ def main():
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("--arch", default="mobilenet_v2", choices=sorted(ARCHS))
+    ap.add_argument("--segmentor", choices=sorted(HEAD_CONVERTERS)
+                    + ["ocrnet"], default=None,
+                    help="convert a FULL mmseg segmentor checkpoint "
+                         "(backbone + decode head) for this arch; "
+                         "--backbone selects the zoo backbone name")
+    ap.add_argument("--backbone", choices=sorted(ZOO_BACKBONES),
+                    default=None, help="zoo backbone (with --segmentor)")
     args = ap.parse_args()
 
     ckpt = torch.load(args.src, map_location="cpu")
@@ -441,6 +627,16 @@ def main():
     for key in ("state_dict", "model"):  # open-mmlab / official wrappers
         if isinstance(ckpt, dict) and key in ckpt:
             ckpt = ckpt[key]
+    if args.segmentor:
+        assert args.backbone, "--segmentor requires --backbone"
+        variables, dropped = convert_segmentor(ckpt, args.segmentor,
+                                               args.backbone)
+        if dropped:
+            print(f"dropped (train-time-only / unknown): {dropped}")
+        with open(args.dst, "wb") as f:
+            f.write(serialization.to_bytes(variables))
+        print(f"wrote {args.dst} ({args.segmentor}/{args.backbone})")
+        return
     ckpt = {k[len("backbone."):] if k.startswith("backbone.") else k: v
             for k, v in ckpt.items()}
     params, stats = ARCHS[args.arch](ckpt)
