@@ -735,7 +735,8 @@ class CustomDataset:
                  img_suffix: str = ".jpg", ann_dir: Optional[str] = None,
                  seg_map_suffix: str = ".png", split: Optional[str] = None,
                  data_root: Optional[str] = None, test_mode: bool = False,
-                 ignore_index: int = 255, reduce_zero_label: bool = False):
+                 ignore_index: int = 255, reduce_zero_label: bool = False,
+                 to_float32: bool = False):
         self.pipeline = Compose(pipeline)
         if data_root is not None:
             img_dir = os.path.join(data_root, img_dir)
@@ -750,6 +751,8 @@ class CustomDataset:
         self.test_mode = test_mode
         self.ignore_index = ignore_index
         self.reduce_zero_label = reduce_zero_label
+        # `pipelines/loading.py:44-47` LoadImageFromFile(to_float32=True)
+        self.to_float32 = to_float32
         if split is not None:
             with open(split) as f:
                 stems = [line.strip() for line in f if line.strip()]
@@ -767,6 +770,8 @@ class CustomDataset:
         img = np.asarray(Image.open(
             os.path.join(self.img_dir, stem + self.img_suffix)
         ).convert("RGB"))
+        if self.to_float32:
+            img = img.astype(np.float32)
         results = dict(img=img, ori_shape=img.shape, img_shape=img.shape,
                        filename=stem, seg_fields=[])
         if self.ann_dir is not None:
@@ -1056,12 +1061,21 @@ TRANSFORMS = {
 def build_transform(cfg: dict):
     """One pipeline step from an mmseg-style dict (``type`` + kwargs).
     No-op loader/formatting steps (handled natively by CustomDataset)
-    return None and are dropped."""
+    return None and are dropped; loader options the dataset can honor
+    (``to_float32``, ``reduce_zero_label``) are plumbed by the builder,
+    anything else unrecognized raises instead of silently diverging."""
     cfg = dict(cfg)
     t = cfg.pop("type")
-    if t in ("LoadImageFromFile", "LoadAnnotations", "DefaultFormatBundle",
-             "ImageToTensor", "Collect"):
-        return None  # decoding/formatting are CustomDataset natives here
+    if t in ("DefaultFormatBundle", "ImageToTensor", "Collect"):
+        return None  # tensor formatting is native here (keys are meta)
+    if t == "LoadImageFromFile":
+        cfg.pop("to_float32", None)  # plumbed by build_pipeline_dataset
+        assert not cfg, f"unsupported LoadImageFromFile args {cfg}"
+        return None
+    if t == "LoadAnnotations":
+        cfg.pop("reduce_zero_label", None)  # plumbed by the builder
+        assert not cfg, f"unsupported LoadAnnotations args {cfg}"
+        return None
     if t == "MultiScaleFlipAug":
         inner = [x for x in (build_transform(c)
                              for c in cfg.pop("transforms")) if x]
@@ -1094,6 +1108,9 @@ def build_pipeline_dataset(cfg, default_args: Optional[dict] = None):
         if isinstance(p, dict) and p.get("type") == "LoadAnnotations" \
                 and "reduce_zero_label" in p:
             cfg.setdefault("reduce_zero_label", p["reduce_zero_label"])
+        if isinstance(p, dict) and p.get("type") == "LoadImageFromFile" \
+                and "to_float32" in p:
+            cfg.setdefault("to_float32", p["to_float32"])
     pipeline = [x for x in
                 ((build_transform(p) if isinstance(p, dict) else p)
                  for p in raw_pipeline) if x]

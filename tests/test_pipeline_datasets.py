@@ -300,3 +300,19 @@ def test_train_segmentor_api_with_ohem_and_eval(tmp_path):
 
     final = evaluate_segmentor(model, variables, ds)
     assert 0.0 <= final["aAcc"] <= 1.0
+
+
+class TestLoaderArgPlumbing:
+    def test_to_float32_plumbed_and_unknown_args_rejected(self, tmp_path):
+        img_dir, ann_dir, _ = _tree(tmp_path, ".jpg", ".png")
+        ds = build_pipeline_dataset(dict(
+            type="CustomDataset", img_dir=img_dir, ann_dir=ann_dir,
+            img_suffix=".jpg",
+            pipeline=[dict(type="LoadImageFromFile", to_float32=True),
+                      dict(type="LoadAnnotations")]))
+        assert ds[0]["img"].dtype == np.float32
+        with pytest.raises(AssertionError):
+            build_pipeline_dataset(dict(
+                type="CustomDataset", img_dir=img_dir, img_suffix=".jpg",
+                pipeline=[dict(type="LoadImageFromFile",
+                               imdecode_backend="turbojpeg")]))
