@@ -218,3 +218,27 @@ def test_convert_full_pspnet_checkpoint_e2e():
             logits, size=(64, 64), mode="bilinear", align_corners=False)
     got, _pooled = model.apply(variables, jnp.asarray(x_np), train=False)
     _check(got, want, atol=5e-3)
+
+
+def test_convert_segformer_head_matches_oracle():
+    from test_torch_parity_heads2 import TSegFormerHead
+    from tools.convert_torch_weights import convert_segformer_head
+    from aadg_tpu.models.segformer import SegFormerHead
+
+    cins = (8, 12, 16, 24)
+    t = TSegFormerHead(cins, 16, 4)
+    _randomize(t, 13)
+    t.eval()
+    xs = [_x((2, c, 16 >> i, 16 >> i), 70 + i) for i, c in enumerate(cins)]
+    with torch.no_grad():
+        want = t([torch.from_numpy(a) for a in xs])
+    sd = _rename({k: v.numpy() for k, v in t.state_dict().items()},
+                 [(r"^linears\.(\d+)\.", lambda mo:
+                   f"linear_c{int(mo.group(1)) + 1}.proj."),
+                  (r"^fuse\.", "linear_fuse."),
+                  (r"^pred\.", "linear_pred.")])
+    params, stats = convert_segformer_head(sd)
+    out = SegFormerHead(num_classes=4, embed_dim=16).apply(
+        {"params": params, "batch_stats": stats},
+        [_nhwc(a) for a in xs], train=False)
+    _check(out, want)

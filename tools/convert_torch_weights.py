@@ -557,6 +557,33 @@ def _subdict(sd, prefix):
             if k.startswith(prefix)}
 
 
+def convert_segformer_head(sd):
+    """`segformer_head.py:35-87`: per-stage MLP projections
+    (``linear_c{i}.proj``), BN'd 1x1 fuse, classifier — mapped onto
+    `models.segformer.SegFormerHead` naming."""
+    m = _Mapper(sd)
+    i = 1
+    while f"linear_c{i}.proj.weight" in sd:
+        m.dense([f"linear_c{i}"], f"linear_c{i}.proj")
+        i += 1
+    m.conv(["linear_fuse"], "linear_fuse.conv.weight")
+    m.bn(["BatchNorm_0"], "linear_fuse.bn")
+    m.conv(["linear_pred"], "linear_pred.weight", bias=True)
+    return m.done()
+
+
+def convert_segformer(state_dict, variant="mit_b1"):
+    """Official SegFormer release checkpoint (MiT backbone + all-MLP
+    head) -> `models.segformer.SegFormer` variables; returns
+    ``(variables, dropped)`` like :func:`convert_segmentor`."""
+    bp, bs = convert_mit(_subdict(state_dict, "backbone."), variant)
+    hp, hs = convert_segformer_head(_subdict(state_dict, "decode_head."))
+    dropped = sorted({k.split(".")[0] for k in state_dict
+                      if not k.startswith(("backbone.", "decode_head."))})
+    return {"params": {"backbone": bp, "head": hp},
+            "batch_stats": {"backbone": bs, "head": hs}}, dropped
+
+
 def convert_segmentor(state_dict, arch, backbone):
     """mmseg checkpoint -> ``{"params", "batch_stats"}`` loadable into
     ``build_segmentor(arch, backbone, num_classes)`` variables.
@@ -613,11 +640,12 @@ def main():
     ap.add_argument("dst")
     ap.add_argument("--arch", default="mobilenet_v2", choices=sorted(ARCHS))
     ap.add_argument("--segmentor", choices=sorted(HEAD_CONVERTERS)
-                    + ["ocrnet"], default=None,
+                    + ["ocrnet", "segformer"], default=None,
                     help="convert a FULL mmseg segmentor checkpoint "
                          "(backbone + decode head) for this arch; "
                          "--backbone selects the zoo backbone name")
-    ap.add_argument("--backbone", choices=sorted(ZOO_BACKBONES),
+    ap.add_argument("--backbone", choices=sorted(ZOO_BACKBONES)
+                    + ["mit_b0", "mit_b1", "mit_b2", "mit_b3"],
                     default=None, help="zoo backbone (with --segmentor)")
     args = ap.parse_args()
 
@@ -629,8 +657,11 @@ def main():
             ckpt = ckpt[key]
     if args.segmentor:
         assert args.backbone, "--segmentor requires --backbone"
-        variables, dropped = convert_segmentor(ckpt, args.segmentor,
-                                               args.backbone)
+        if args.segmentor == "segformer":
+            variables, dropped = convert_segformer(ckpt, args.backbone)
+        else:
+            variables, dropped = convert_segmentor(ckpt, args.segmentor,
+                                                   args.backbone)
         if dropped:
             print(f"dropped (train-time-only / unknown): {dropped}")
         with open(args.dst, "wb") as f:
