@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
+
 from .backbones import (CGNet, FastSCNN, HRNet, MobileNetV3, ResNeSt,
                         ResNeXt, ResNetV1c, UNetBackbone)
 from .heads import (ASPPHead, DepthwiseSeparableASPPHead,
@@ -105,6 +107,30 @@ def _hrnet_wire(head):
     return head
 
 
+def _backbone_strides(bb, size: int = 64):
+    """Probe the backbone's true output strides with ``jax.eval_shape``
+    (zero FLOPs): dilated families (OS8 ResNetV1c -> (4, 8, 8, 8)) and
+    3-output backbones (MobileNetV3) differ from the (4, 8, 16, 32)
+    default, and FPNHead's conv-chain depth is static configuration
+    keyed on the true strides (`fpn_head.py:19-37`)."""
+    import jax
+
+    shapes = jax.eval_shape(
+        lambda k, x: bb.init_with_output(k, x, train=False)[0],
+        jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32))
+    return tuple(size // max(1, s.shape[1]) for s in shapes)
+
+
+def _fpn_strides(bb, num_outs: int):
+    """Strides of the FPN neck's outputs: the backbone's, extended by
+    stride-2 max-pool levels up to ``num_outs`` (`necks/fpn.py`)."""
+    strides = list(_backbone_strides(bb))
+    while len(strides) < num_outs:
+        strides.append(strides[-1] * 2)
+    return tuple(strides[:num_outs])
+
+
 def _unet_wire(head):
     """mmseg's UNet configs (fcn/pspnet/deeplabv3_unet_s5-d16) read the
     full-resolution decoder output: ``in_index=4`` of the 5 dec_outs."""
@@ -124,12 +150,18 @@ def build_segmentor(arch: str, backbone: str, num_classes: int,
     if arch == "sem_fpn":
         neck = FPN(out_channels=256, num_outs=4, axis_name=axis_name)
         feat_ch = 256
+        head = _head(arch, num_classes, axis_name).clone(
+            feature_strides=_fpn_strides(bb, 4))
+        model = EncoderDecoder(backbone=bb, neck=neck, decode_head=head,
+                               feat_ch=feat_ch)
+        return model, feat_ch
     if arch == "pointrend":
         # mmseg pointrend_r50/r101: FPN base, FPNHead coarse logits,
         # PointHead refinement (fine-grained feats = FPN level 0)
         neck = FPN(out_channels=256, num_outs=4, axis_name=axis_name)
         feat_ch = 256
         coarse = FPNHead(num_classes=num_classes, channels=128,
+                         feature_strides=_fpn_strides(bb, 4),
                          axis_name=axis_name)
         point = PointHead(num_classes=num_classes, channels=256,
                           num_fcs=3, in_index=(0,))

@@ -268,29 +268,38 @@ class UPerHead(nn.Module):
 
 class FPNHead(nn.Module):
     """`fpn_head.py` (Panoptic-FPN style): per-stage conv(+x2 upsample)
-    chains down to the finest stride, then summed."""
+    chains down to the finest stride, then summed.
+
+    ``feature_strides`` is STATIC configuration exactly like mmseg's
+    (`fpn_head.py:19-37`): stage i runs ``max(1, log2(s_i) - log2(s_0))``
+    conv(+x2-upsample) rounds. It must align with ``in_index`` and be set
+    per backbone (the builder probes real strides with ``eval_shape``, so
+    dilated backbones like the OS8 ResNetV1c get (4, 8, 8, 8)). Deriving
+    the depth from runtime shapes instead would make the PARAMETER
+    STRUCTURE input-size-dependent — init at one size could not run
+    inference at another."""
     num_classes: int
     channels: int = 128
     in_index: Tuple[int, ...] = (0, 1, 2, 3)
+    feature_strides: Tuple[int, ...] = (4, 8, 16, 32)
     dropout_ratio: float = 0.1
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, inputs, train: bool = True):
         xs = [inputs[i] for i in self.in_index]
-        # mmseg reads feature_strides from the paired config; here the
-        # per-stage upsample count is derived from the ACTUAL shapes so
-        # the head is correct for dilated backbones too (e.g. the zoo
-        # ResNetV1c runs at strides (4,8,8,8), not (4,8,16,32))
+        assert len(xs) == len(self.feature_strides)
         h0, w0 = xs[0].shape[1], xs[0].shape[2]
+        s0 = int(math.log2(self.feature_strides[0]))
         out = None
         for i, x in enumerate(xs):
-            ratio = max(1, h0 // max(1, x.shape[1]))
-            steps = max(1, int(round(math.log2(ratio))) if ratio > 1 else 1)
-            for k in range(steps):
+            si = int(math.log2(self.feature_strides[i]))
+            for k in range(max(1, si - s0)):
                 x = ConvModule(self.channels, 3, axis_name=self.axis_name,
                                name=f"scale_head_{i}_{k}")(x, train)
-                if ratio > 1:
+                if self.feature_strides[i] != self.feature_strides[0]:
+                    # x2 like the reference; clamped so ceil-ed odd
+                    # intermediate sizes still land exactly on stage 0
                     x = resize(x, (min(h0, x.shape[1] * 2),
                                    min(w0, x.shape[2] * 2)))
             out = x if out is None else out + x

@@ -6,9 +6,19 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import resize
+
+def _nearest_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """torch ``F.interpolate(mode='nearest')``: ``src = floor(dst *
+    in/out)`` — the reference FPN's top-down upsample
+    (`fpn.py:76,181-183`, mmdet's ``upsample_cfg=dict(mode='nearest')``
+    default)."""
+    h, w = size
+    ys = jnp.floor(jnp.arange(h) * (x.shape[1] / h)).astype(jnp.int32)
+    xs = jnp.floor(jnp.arange(w) * (x.shape[2] / w)).astype(jnp.int32)
+    return x[:, ys][:, :, xs]
 
 
 class FPN(nn.Module):
@@ -24,7 +34,8 @@ class FPN(nn.Module):
                     for i, x in enumerate(inputs)]
         for i in range(len(laterals) - 1, 0, -1):
             size = (laterals[i - 1].shape[1], laterals[i - 1].shape[2])
-            laterals[i - 1] = laterals[i - 1] + resize(laterals[i], size)
+            laterals[i - 1] = laterals[i - 1] + _nearest_resize(
+                laterals[i], size)
         outs = [nn.Conv(self.out_channels, (3, 3), padding=1,
                         name=f"fpn_conv_{i}")(laterals[i])
                 for i in range(len(laterals))]

@@ -962,3 +962,51 @@ def test_segformer_head_torch_parity():
     out = head.apply({"params": params, "batch_stats": stats},
                      [_nhwc(a) for a in xs], train=False)
     _check(out, want)
+
+
+# ---------------------------------------------------------------------------
+# FPN neck (`necks/fpn.py`) — nearest top-down upsample (mmdet default)
+# ---------------------------------------------------------------------------
+
+class TFPNNeck(nn.Module):
+    def __init__(self, cins, channels, num_outs):
+        super().__init__()
+        self.lateral_convs = nn.ModuleList(
+            [nn.Conv2d(c, channels, 1) for c in cins])
+        self.fpn_convs = nn.ModuleList(
+            [nn.Conv2d(channels, channels, 3, padding=1) for _ in cins])
+        self.num_outs = num_outs
+
+    def forward(self, xs):
+        laterals = [m(xs[i]) for i, m in enumerate(self.lateral_convs)]
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + F.interpolate(
+                laterals[i], size=laterals[i - 1].shape[2:], mode="nearest")
+        outs = [m(laterals[i]) for i, m in enumerate(self.fpn_convs)]
+        while len(outs) < self.num_outs:
+            outs.append(F.max_pool2d(outs[-1], 1, stride=2))
+        return outs
+
+
+def test_fpn_neck_torch_parity():
+    from aadg_tpu.models.zoo.necks import FPN
+
+    cins = (8, 12, 16, 24)
+    t = TFPNNeck(cins, 16, 5)
+    _randomize(t, 21)
+    t.eval()
+    # odd sizes so a wrong (bilinear / half-pixel) upsample cannot pass
+    xs = [_x((2, c, s, s), 80 + i) for i, (c, s) in
+          enumerate(zip(cins, (21, 11, 6, 3)))]
+    with torch.no_grad():
+        want = t([torch.from_numpy(a) for a in xs])
+    neck = FPN(out_channels=16, num_outs=5)
+    params = {}
+    for i in range(4):
+        params[f"lateral_{i}"] = conv_p(t.lateral_convs[i])
+        params[f"fpn_conv_{i}"] = conv_p(t.fpn_convs[i])
+    outs = neck.apply({"params": params}, [_nhwc(a) for a in xs],
+                      train=False)
+    assert len(outs) == 5
+    for got, w in zip(outs, want):
+        _check(got, w)

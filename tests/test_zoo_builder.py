@@ -105,3 +105,30 @@ def test_fcn_hrnet_resize_concat_wiring():
     logits, pooled = model.apply(v, x, train=False)
     assert logits.shape == (1, 32, 32, 2)
     assert pooled.shape == (1, feat_ch)
+
+
+def test_fpn_head_param_structure_is_input_size_independent():
+    """FPNHead's conv-chain depth is static (feature_strides), so
+    variables init'd at one size must run inference at any other —
+    shape-derived depths broke this (init 32^2 vs apply 48x64)."""
+    import jax
+    import jax.numpy as jnp
+    from aadg_tpu.models.zoo.builder import build_segmentor
+
+    model, _ = build_segmentor("sem_fpn", "mobilenet_v3_small", 5)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                   train=False)
+    out, _f = model.apply(v, jnp.zeros((2, 48, 64, 3)), train=False)
+    assert out.shape == (2, 48, 64, 5)
+
+
+def test_fpn_strides_probe_matches_backbones():
+    from aadg_tpu.models.zoo.builder import (_backbone_strides,
+                                             _fpn_strides, build_backbone)
+
+    bb, _ = build_backbone("resnet50_v1c")
+    assert _backbone_strides(bb) == (4, 8, 8, 8)  # OS8 dilated
+    bb, _ = build_backbone("mobilenet_v3_small")
+    s = _backbone_strides(bb)
+    assert len(s) == 3 and s[0] == 4
+    assert _fpn_strides(bb, 4) == s + (s[-1] * 2,)
