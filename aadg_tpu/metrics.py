@@ -174,7 +174,16 @@ def hd95_with_penalty(pred: np.ndarray, target: np.ndarray,
 def intersect_and_union(pred_label, label, num_classes: int,
                         ignore_index: int, label_map=None,
                         reduce_zero_label: bool = False):
-    """Per-image class histograms of intersection/union/pred/gt areas."""
+    """Per-image class histograms of intersection/union/pred/gt areas.
+
+    ``pred_label``/``label`` may be FILE PATHS (`metrics.py:31-36`: a
+    .npy prediction from the efficient-test path, and an image file for
+    the label) — loaded lazily so huge result sets never sit in RAM."""
+    if isinstance(pred_label, str):
+        pred_label = np.load(pred_label)
+    if isinstance(label, str):
+        from PIL import Image
+        label = np.asarray(Image.open(label))
     pred_label = np.asarray(pred_label)
     label = np.asarray(label).copy()
     if label_map:

@@ -438,13 +438,19 @@ def _eval_fwd(model):
 
 
 def evaluate_segmentor(model, variables, dataset, metric: str = "mIoU",
-                       batch_size: int = 2, mesh=None):
+                       batch_size: int = 2, mesh=None,
+                       efficient_test: bool = False):
     """EvalHook equivalent: whole-image inference over ``dataset``, then
     ``dataset.evaluate`` (aAcc / per-class acc / mIoU or mDice).
 
     ``mesh``: shard each batch over the mesh's first axis with replicated
     params — the TPU-native ``apis/test.py`` ``multi_gpu_test`` (results
-    identical to single-device; the batch pads up to the device count)."""
+    identical to single-device; the batch pads up to the device count).
+
+    ``efficient_test``: spill each prediction to a tempfile ``.npy`` and
+    hand the PATHS to ``dataset.evaluate`` (`apis/test.py:39-107`
+    ``np2tmp``) so giant result sets (Cityscapes-scale) never sit in
+    host RAM; ``metrics.intersect_and_union`` loads them lazily."""
     fwd = _eval_fwd(model)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -465,5 +471,19 @@ def evaluate_segmentor(model, variables, dataset, metric: str = "mIoU",
             x = jax.device_put(
                 x, NamedSharding(mesh, P(mesh.axis_names[0])))
         pred = np.asarray(fwd(variables, x))[:n_orig]
-        results.extend(list(pred))
-    return dataset.evaluate(results, metric=metric)
+        if efficient_test:
+            import tempfile
+            for p in pred:
+                f = tempfile.NamedTemporaryFile(suffix=".npy",
+                                                delete=False)
+                np.save(f, p)
+                f.close()
+                results.append(f.name)
+        else:
+            results.extend(list(pred))
+    out = dataset.evaluate(results, metric=metric)
+    if efficient_test:
+        import os
+        for p in results:
+            os.unlink(p)
+    return out

@@ -316,3 +316,33 @@ class TestLoaderArgPlumbing:
                 type="CustomDataset", img_dir=img_dir, img_suffix=".jpg",
                 pipeline=[dict(type="LoadImageFromFile",
                                imdecode_backend="turbojpeg")]))
+
+
+def test_efficient_test_paths_equal_in_memory(tmp_path):
+    """efficient_test spills predictions to .npy paths; eval must be
+    IDENTICAL to the in-memory path (`apis/test.py` np2tmp +
+    `metrics.py:31-36` lazy load)."""
+    import jax
+    from aadg_tpu.models.zoo.builder import build_backbone
+    from aadg_tpu.models.zoo.heads import FCNHead
+    from aadg_tpu.models.zoo.segmentor import EncoderDecoder
+    from aadg_tpu.models.zoo.train_api import evaluate_segmentor
+
+    img_dir, ann_dir, _ = _tree(tmp_path, ".jpg", ".png", n=4, size=32,
+                                n_classes=4)
+    ds = build_pipeline_dataset(dict(
+        type="CustomDataset", img_dir=img_dir, ann_dir=ann_dir,
+        img_suffix=".jpg", seg_map_suffix=".png",
+        pipeline=[Normalize(mean=[127.5] * 3, std=[127.5] * 3)]))
+    bb, _ = build_backbone("cgnet")
+    model = EncoderDecoder(
+        backbone=bb, decode_head=FCNHead(num_classes=4, channels=8,
+                                         num_convs=1, concat_input=False))
+    import jax.numpy as jnp
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    a = evaluate_segmentor(model, variables, ds)
+    b = evaluate_segmentor(model, variables, ds, efficient_test=True)
+    np.testing.assert_allclose(np.asarray(a["mIoU"], np.float64),
+                               np.asarray(b["mIoU"], np.float64))
+    assert a["aAcc"] == b["aAcc"]
