@@ -486,14 +486,18 @@ class FastSCNN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         CM, DSCM = ConvModule, DepthwiseSeparableConvModule
-        # learning to downsample: conv s2 + 2 sep convs s2 -> 1/8
-        x = CM(self.downsample_dw_channels[0], 3, strides=2,
+        # learning to downsample (`fast_scnn.py:13-70`): the first conv
+        # keeps mmcv ConvModule's DEFAULT padding 0 (the reference passes
+        # none), then 2 sep convs with padding 1
+        x = CM(self.downsample_dw_channels[0], 3, strides=2, padding=0,
                axis_name=self.axis_name, name="ltd_conv")(x, train)
         x = DSCM(self.downsample_dw_channels[1], 3, strides=2,
                  axis_name=self.axis_name, name="ltd_ds1")(x, train)
         higher = DSCM(self.higher_in_channels, 3, strides=2,
                       axis_name=self.axis_name, name="ltd_ds2")(x, train)
-        # global feature extractor
+        # global feature extractor (`fast_scnn.py:73-178`): 3 stages of
+        # 3 inverted residuals, then a PPM at block_channels[2]//4 pool
+        # width and a 1x1 fuse back to lower_in_channels
         y = higher
         for s, (ch, st) in enumerate(zip(self.global_block_channels,
                                          self.global_block_strides)):
@@ -501,32 +505,25 @@ class FastSCNN(nn.Module):
                 y = InvertedResidualV2(ch, st if b == 0 else 1,
                                        axis_name=self.axis_name,
                                        name=f"gfe_{s}_{b}")(y, train)
-        # PPM on the lowest resolution
         size = (y.shape[1], y.shape[2])
         pools = [y]
         for i, sc in enumerate(self.pool_scales):
             p = adaptive_avg_pool(y, sc)
-            p = CM(self.lower_in_channels, 1, axis_name=self.axis_name,
-                   name=f"ppm_{i}")(p, train)
+            p = CM(self.global_block_channels[-1] // 4, 1,
+                   axis_name=self.axis_name, name=f"ppm_{i}")(p, train)
             pools.append(resize(p, size))
-        lower = CM(self.lower_in_channels, 3, axis_name=self.axis_name,
-                   name="ppm_bottleneck")(
-            jnp.concatenate(pools, -1), train)
-        # feature fusion module
+        lower = CM(self.lower_in_channels, 1, axis_name=self.axis_name,
+                   name="gfe_out")(jnp.concatenate(pools, -1), train)
+        # feature fusion module (`fast_scnn.py:181-246`): the reference's
+        # 'dwconv' is in fact a plain 1x1 ConvModule (BN+ReLU), then
+        # act-free 1x1 projections on both branches, add, ReLU
         up = resize(lower, (higher.shape[1], higher.shape[2]))
-        up = nn.Conv(self.fusion_out_channels, (3, 3), padding=4,
-                     kernel_dilation=(4, 4),
-                     feature_group_count=self.fusion_out_channels
-                     if self.fusion_out_channels == up.shape[-1] else 1,
-                     use_bias=False, name="ffm_dwconv")(up)
-        up = _bn(train, self.axis_name, "ffm_dw_bn", up.dtype)(up)
-        up = nn.relu(up)
-        up = nn.Conv(self.fusion_out_channels, (1, 1), use_bias=False,
-                     name="ffm_lower_proj")(up)
-        up = _bn(train, self.axis_name, "ffm_lower_bn", up.dtype)(up)
-        hi = nn.Conv(self.fusion_out_channels, (1, 1), use_bias=False,
-                     name="ffm_higher_proj")(higher)
-        hi = _bn(train, self.axis_name, "ffm_higher_bn", hi.dtype)(hi)
+        up = CM(self.fusion_out_channels, 1, axis_name=self.axis_name,
+                name="ffm_dwconv")(up, train)
+        up = CM(self.fusion_out_channels, 1, act=None,
+                axis_name=self.axis_name, name="ffm_lower")(up, train)
+        hi = CM(self.fusion_out_channels, 1, act=None,
+                axis_name=self.axis_name, name="ffm_higher")(higher, train)
         fusion = nn.relu(hi + up)
         return [higher, lower, fusion]
 
@@ -534,6 +531,20 @@ class FastSCNN(nn.Module):
 # ---------------------------------------------------------------------------
 # CGNet
 # ---------------------------------------------------------------------------
+
+class ChannelPReLU(nn.Module):
+    """torch ``nn.PReLU(num_parameters=C)``: one learnable negative slope
+    PER CHANNEL (init 0.25) — CGNet constructs every PReLU with
+    ``num_parameters`` (`cgnet.py:96-97,131,266-268`); flax's ``nn.PReLU``
+    is a single shared scalar, a different parameterization."""
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha", lambda k, s: jnp.full(s, 0.25, jnp.float32),
+            (x.shape[-1],))
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
 
 class GlobalContextExtractor(nn.Module):
     """`cgnet.py` fglo: squeeze-excite channel gate."""
@@ -567,7 +578,7 @@ class ContextGuidedBlock(nn.Module):
                     padding=1 if self.downsample else 0, use_bias=False,
                     name="conv1x1")(x)
         y = _bn(train, self.axis_name, "bn1", y.dtype)(y)
-        y = nn.PReLU(name="prelu1")(y)
+        y = ChannelPReLU(name="prelu1")(y)
         floc = nn.Conv(n, (3, 3), padding=1, feature_group_count=n,
                        use_bias=False, name="floc")(y)
         fsur = nn.Conv(n, (3, 3), padding=self.dilation,
@@ -576,7 +587,7 @@ class ContextGuidedBlock(nn.Module):
                        name="fsur")(y)
         joi = jnp.concatenate([floc, fsur], -1)
         joi = _bn(train, self.axis_name, "bn2", joi.dtype)(joi)
-        joi = nn.PReLU(name="prelu2")(joi)
+        joi = ChannelPReLU(name="prelu2")(joi)
         if self.downsample:
             joi = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                           name="reduce")(joi)
@@ -605,14 +616,14 @@ class CGNet(nn.Module):
                         strides=(2, 2) if i == 0 else (1, 1), padding=1,
                         use_bias=False, name=f"stem{i}")(y)
             y = _bn(train, self.axis_name, f"stem_bn{i}", y.dtype)(y)
-            y = nn.PReLU(name=f"stem_prelu{i}")(y)
+            y = ChannelPReLU(name=f"stem_prelu{i}")(y)
         feats = []
         # input injection at each resolution (`cgnet.py` InputInjection)
         down1 = nn.avg_pool(inp, (3, 3), strides=(2, 2),
                             padding=((1, 1), (1, 1)))
         y = jnp.concatenate([y, down1], -1)
         y = _bn(train, self.axis_name, "cat_bn0", y.dtype)(y)
-        y = nn.PReLU(name="cat_prelu0")(y)
+        y = ChannelPReLU(name="cat_prelu0")(y)
         feats.append(y)
         for stage in range(2):
             blocks = self.num_blocks[stage]
@@ -627,13 +638,16 @@ class CGNet(nn.Module):
                                        self.reductions[stage],
                                        axis_name=self.axis_name,
                                        name=f"stage{stage}_{b}")(z, train)
-            z = jnp.concatenate([z, first], -1)
+            # reference concat orders differ per stage (`cgnet.py:322-333`):
+            # stage 1 is cat([x, down1, inp_4x]); stage 2 is cat([down2, x])
             if stage == 0:
                 down = nn.avg_pool(down1, (3, 3), strides=(2, 2),
                                    padding=((1, 1), (1, 1)))
-                z = jnp.concatenate([z, down], -1)
+                z = jnp.concatenate([z, first, down], -1)
+            else:
+                z = jnp.concatenate([first, z], -1)
             z = _bn(train, self.axis_name, f"cat_bn{stage + 1}", z.dtype)(z)
-            z = nn.PReLU(name=f"cat_prelu{stage + 1}")(z)
+            z = ChannelPReLU(name=f"cat_prelu{stage + 1}")(z)
             feats.append(z)
             y = z
         return feats

@@ -81,11 +81,16 @@ class ConvModule(nn.Module):
     norm: bool = True
     act: Optional[str] = "relu"
     use_bias: Optional[bool] = None
+    # None = 'same' (dilation*(k-1)//2), what every mmseg head config
+    # passes explicitly; mmcv's own default is 0 (Fast-SCNN's first
+    # downsample conv relies on that)
+    padding: Optional[int] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        pad = self.dilation * (self.kernel - 1) // 2
+        pad = self.dilation * (self.kernel - 1) // 2 \
+            if self.padding is None else self.padding
         bias = (not self.norm) if self.use_bias is None else self.use_bias
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.strides, self.strides),

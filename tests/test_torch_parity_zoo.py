@@ -733,3 +733,314 @@ def test_unet_matches_torch_oracle(deconv):
                       upsample="DeconvModule" if deconv else "InterpConv")
     _forward_compare(fm, {"params": params, "batch_stats": stats},
                      feats, x_np, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# CGNet oracle (`cgnet.py:13-336`) — trains from scratch in mmseg (no
+# pretrained checkpoints), so this pins the flax MODULE semantics:
+# per-channel PReLUs, CG block local/surrounding/joint/global structure,
+# and the per-stage concat orders ([x, down1, inp_4x] then [down2, x]).
+# ---------------------------------------------------------------------------
+
+class TCGBlock(nn.Module):
+    def __init__(self, cin, cout, dilation, reduction, downsample):
+        super().__init__()
+        ch = cout if downsample else cout // 2
+        k, s = (3, 2) if downsample else (1, 1)
+        self.conv1x1 = nn.Sequential(
+            nn.Conv2d(cin, ch, k, s, (k - 1) // 2, bias=False),
+            nn.BatchNorm2d(ch), nn.PReLU(ch))
+        self.f_loc = nn.Conv2d(ch, ch, 3, padding=1, groups=ch, bias=False)
+        self.f_sur = nn.Conv2d(ch, ch, 3, padding=dilation,
+                               dilation=dilation, groups=ch, bias=False)
+        self.bn = nn.BatchNorm2d(2 * ch)
+        self.activate = nn.PReLU(2 * ch)
+        self.bottleneck = nn.Conv2d(2 * ch, cout, 1, bias=False) \
+            if downsample else None
+        self.f_glo = nn.Sequential(
+            nn.Linear(cout, cout // reduction), nn.ReLU(),
+            nn.Linear(cout // reduction, cout), nn.Sigmoid())
+        self.downsample = downsample
+
+    def forward(self, x):
+        out = self.conv1x1(x)
+        joi = torch.cat([self.f_loc(out), self.f_sur(out)], 1)
+        joi = self.activate(self.bn(joi))
+        if self.bottleneck is not None:
+            joi = self.bottleneck(joi)
+        g = self.f_glo(joi.mean(dim=(2, 3)))[..., None, None]
+        out = joi * g
+        return out if self.downsample else x + out
+
+
+class TCGNet(nn.Module):
+    def __init__(self, nc=(8, 16, 32), nb=(2, 3), dil=(2, 4), red=(4, 8)):
+        super().__init__()
+        self.stem = nn.ModuleList()
+        cur = 3
+        for i in range(3):
+            self.stem.append(nn.Sequential(
+                nn.Conv2d(cur, nc[0], 3, 2 if i == 0 else 1, 1, bias=False),
+                nn.BatchNorm2d(nc[0]), nn.PReLU(nc[0])))
+            cur = nc[0]
+        self.norm_prelu_0 = nn.Sequential(nn.BatchNorm2d(nc[0] + 3),
+                                          nn.PReLU(nc[0] + 3))
+        self.level1 = nn.ModuleList(
+            [TCGBlock(nc[0] + 3 if i == 0 else nc[1], nc[1], dil[0],
+                      red[0], i == 0) for i in range(nb[0])])
+        self.norm_prelu_1 = nn.Sequential(nn.BatchNorm2d(2 * nc[1] + 3),
+                                          nn.PReLU(2 * nc[1] + 3))
+        self.level2 = nn.ModuleList(
+            [TCGBlock(2 * nc[1] + 3 if i == 0 else nc[2], nc[2], dil[1],
+                      red[1], i == 0) for i in range(nb[1])])
+        self.norm_prelu_2 = nn.Sequential(nn.BatchNorm2d(2 * nc[2]),
+                                          nn.PReLU(2 * nc[2]))
+
+    def forward(self, x):
+        pool = nn.AvgPool2d(3, stride=2, padding=1)
+        inp_2x, inp_4x = pool(x), pool(pool(x))
+        out = []
+        for layer in self.stem:
+            x = layer(x)
+        x = self.norm_prelu_0(torch.cat([x, inp_2x], 1))
+        out.append(x)
+        for i, layer in enumerate(self.level1):
+            x = layer(x)
+            if i == 0:
+                down1 = x
+        x = self.norm_prelu_1(torch.cat([x, down1, inp_4x], 1))
+        out.append(x)
+        for i, layer in enumerate(self.level2):
+            x = layer(x)
+            if i == 0:
+                down2 = x
+        x = self.norm_prelu_2(torch.cat([down2, x], 1))
+        out.append(x)
+        return out
+
+
+def _cg_w(t):
+    return np.transpose(t.detach().numpy(), (2, 3, 1, 0))
+
+
+def _cg_bn(m):
+    return ({"scale": m.weight.detach().numpy(),
+             "bias": m.bias.detach().numpy()},
+            {"mean": m.running_mean.numpy(), "var": m.running_var.numpy()})
+
+
+def _cg_prelu(m):
+    return {"alpha": m.weight.detach().numpy()}
+
+
+def _cg_block(t):
+    p, s = {}, {}
+    p["conv1x1"] = {"kernel": _cg_w(t.conv1x1[0].weight)}
+    p["bn1"], s["bn1"] = _cg_bn(t.conv1x1[1])
+    p["prelu1"] = _cg_prelu(t.conv1x1[2])
+    p["floc"] = {"kernel": _cg_w(t.f_loc.weight)}
+    p["fsur"] = {"kernel": _cg_w(t.f_sur.weight)}
+    p["bn2"], s["bn2"] = _cg_bn(t.bn)
+    p["prelu2"] = _cg_prelu(t.activate)
+    if t.bottleneck is not None:
+        p["reduce"] = {"kernel": _cg_w(t.bottleneck.weight)}
+    p["fglo"] = {
+        "fc1": {"kernel": t.f_glo[0].weight.detach().numpy().T,
+                "bias": t.f_glo[0].bias.detach().numpy()},
+        "fc2": {"kernel": t.f_glo[2].weight.detach().numpy().T,
+                "bias": t.f_glo[2].bias.detach().numpy()}}
+    return p, s
+
+
+def test_cgnet_matches_torch_oracle():
+    from aadg_tpu.models.zoo.backbones import CGNet
+
+    torch.manual_seed(3)
+    tm = TCGNet().eval()
+    for m in tm.modules():
+        if isinstance(m, nn.PReLU):
+            m.weight.data.uniform_(0.1, 0.4)
+    _randomize_bn(tm)
+
+    params, stats = {}, {}
+    for i in range(3):
+        params[f"stem{i}"] = {"kernel": _cg_w(tm.stem[i][0].weight)}
+        params[f"stem_bn{i}"], stats[f"stem_bn{i}"] = _cg_bn(tm.stem[i][1])
+        params[f"stem_prelu{i}"] = _cg_prelu(tm.stem[i][2])
+    for j, np_mod in enumerate([tm.norm_prelu_0, tm.norm_prelu_1,
+                                tm.norm_prelu_2]):
+        params[f"cat_bn{j}"], stats[f"cat_bn{j}"] = _cg_bn(np_mod[0])
+        params[f"cat_prelu{j}"] = _cg_prelu(np_mod[1])
+    for s_i, level in enumerate([tm.level1, tm.level2]):
+        for b, blk in enumerate(level):
+            name = f"stage{s_i}_down" if b == 0 else f"stage{s_i}_{b - 1}"
+            params[name], stats[name] = _cg_block(blk)
+
+    x_np = np.random.default_rng(7).uniform(
+        -1, 1, (2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats = tm(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    model = CGNet(num_channels=(8, 16, 32), num_blocks=(2, 3),
+                  dilations=(2, 4), reductions=(4, 8))
+    _forward_compare(model, {"params": params, "batch_stats": stats},
+                     feats, x_np, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fast-SCNN oracle (`fast_scnn.py:13-386`) — also trains from scratch;
+# pins the LTD padding-0 first conv, the block_channels//4 PPM width with
+# the 1x1 fuse, and the FFM's plain-1x1 'dwconv' + act-free projections.
+# ---------------------------------------------------------------------------
+
+class TCMod(nn.Module):
+    def __init__(self, cin, cout, k, stride=1, padding=0, act=True):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, stride, padding, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+        self.act = act
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return F.relu(x) if self.act else x
+
+
+class TDSC(nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.depthwise = TCMod(cin, cin, 3, stride, 1)
+        self.depthwise.conv = nn.Conv2d(cin, cin, 3, stride, 1,
+                                        groups=cin, bias=False)
+        self.pointwise = TCMod(cin, cout, 1)
+
+    def forward(self, x):
+        return self.pointwise(self.depthwise(x))
+
+
+class TIRes(nn.Module):
+    def __init__(self, cin, cout, stride, expand=6):
+        super().__init__()
+        hid = int(round(cin * expand))
+        self.expand = TCMod(cin, hid, 1)
+        self.dw = TCMod(hid, hid, 3, stride, 1)
+        self.dw.conv = nn.Conv2d(hid, hid, 3, stride, 1, groups=hid,
+                                 bias=False)
+        self.project = TCMod(hid, cout, 1, act=False)
+        self.res = stride == 1 and cin == cout
+
+    def forward(self, x):
+        y = self.project(F.relu6(self.dw.bn(self.dw.conv(
+            F.relu6(self.expand.bn(self.expand.conv(x)))))))
+        return x + y if self.res else y
+
+
+class TFastSCNN(nn.Module):
+    def __init__(self, dw=(8, 12), higher=16, blocks=(16, 24, 32),
+                 strides=(2, 2, 1), lower=32, fusion=32, scales=(1, 2)):
+        super().__init__()
+        self.conv = TCMod(3, dw[0], 3, 2, 0)  # mmcv default padding 0
+        self.dsconv1 = TDSC(dw[0], dw[1], 2)
+        self.dsconv2 = TDSC(dw[1], higher, 2)
+        layers, cin = [], higher
+        for ch, st in zip(blocks, strides):
+            for b in range(3):
+                layers.append(TIRes(cin, ch, st if b == 0 else 1))
+                cin = ch
+        self.gfe = nn.ModuleList(layers)
+        self.scales = scales
+        self.ppm = nn.ModuleList(
+            [TCMod(blocks[-1], blocks[-1] // 4, 1) for _ in scales])
+        self.out = TCMod(blocks[-1] + len(scales) * (blocks[-1] // 4),
+                         lower, 1)
+        self.dwconv = TCMod(lower, fusion, 1)
+        self.conv_lower_res = TCMod(fusion, fusion, 1, act=False)
+        self.conv_higher_res = TCMod(higher, fusion, 1, act=False)
+
+    def forward(self, x):
+        x = self.dsconv2(self.dsconv1(self.conv(x)))
+        higher = x
+        y = x
+        for m in self.gfe:
+            y = m(y)
+        pools = [y]
+        for s, conv in zip(self.scales, self.ppm):
+            p = conv(F.adaptive_avg_pool2d(y, s))
+            pools.append(F.interpolate(p, size=y.shape[2:],
+                                       mode="bilinear",
+                                       align_corners=False))
+        lower = self.out(torch.cat(pools, 1))
+        up = F.interpolate(lower, size=higher.shape[2:], mode="bilinear",
+                           align_corners=False)
+        up = self.conv_lower_res(self.dwconv(up))
+        fusion = F.relu(self.conv_higher_res(higher) + up)
+        return [higher, lower, fusion]
+
+
+def _cm_ps(t):
+    return ({"conv": {"kernel": np.transpose(
+        t.conv.weight.detach().numpy(), (2, 3, 1, 0))},
+        "bn": {"scale": t.bn.weight.detach().numpy(),
+               "bias": t.bn.bias.detach().numpy()}},
+        {"bn": {"mean": t.bn.running_mean.numpy(),
+                "var": t.bn.running_var.numpy()}})
+
+
+def test_fast_scnn_matches_torch_oracle():
+    from aadg_tpu.models.zoo.backbones import FastSCNN
+
+    torch.manual_seed(4)
+    tm = TFastSCNN().eval()
+    _randomize_bn(tm)
+
+    params, stats = {}, {}
+
+    def put_cm(name, t):
+        params[name], stats[name] = _cm_ps(t)
+
+    def put_ds(name, t):
+        params[name] = {
+            "depthwise": {"kernel": np.transpose(
+                t.depthwise.conv.weight.detach().numpy(), (2, 3, 1, 0))},
+            "dw_bn": {"scale": t.depthwise.bn.weight.detach().numpy(),
+                      "bias": t.depthwise.bn.bias.detach().numpy()},
+            "pointwise": {"kernel": np.transpose(
+                t.pointwise.conv.weight.detach().numpy(), (2, 3, 1, 0))},
+            "pw_bn": {"scale": t.pointwise.bn.weight.detach().numpy(),
+                      "bias": t.pointwise.bn.bias.detach().numpy()}}
+        stats[name] = {
+            "dw_bn": {"mean": t.depthwise.bn.running_mean.numpy(),
+                      "var": t.depthwise.bn.running_var.numpy()},
+            "pw_bn": {"mean": t.pointwise.bn.running_mean.numpy(),
+                      "var": t.pointwise.bn.running_var.numpy()}}
+
+    put_cm("ltd_conv", tm.conv)
+    put_ds("ltd_ds1", tm.dsconv1)
+    put_ds("ltd_ds2", tm.dsconv2)
+    for i, blk in enumerate(tm.gfe):
+        s, b = divmod(i, 3)
+        name = f"gfe_{s}_{b}"
+        p, st = {}, {}
+        for sub, tmod in (("expand", blk.expand), ("dw", blk.dw),
+                          ("project", blk.project)):
+            p[sub] = {"kernel": np.transpose(
+                tmod.conv.weight.detach().numpy(), (2, 3, 1, 0))}
+            p[f"{sub}_bn"] = {"scale": tmod.bn.weight.detach().numpy(),
+                              "bias": tmod.bn.bias.detach().numpy()}
+            st[f"{sub}_bn"] = {"mean": tmod.bn.running_mean.numpy(),
+                               "var": tmod.bn.running_var.numpy()}
+        params[name], stats[name] = p, st
+    for i, t in enumerate(tm.ppm):
+        put_cm(f"ppm_{i}", t)
+    put_cm("gfe_out", tm.out)
+    put_cm("ffm_dwconv", tm.dwconv)
+    put_cm("ffm_lower", tm.conv_lower_res)
+    put_cm("ffm_higher", tm.conv_higher_res)
+
+    x_np = np.random.default_rng(8).uniform(
+        -1, 1, (2, 128, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats = tm(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    model = FastSCNN(downsample_dw_channels=(8, 12), higher_in_channels=16,
+                     lower_in_channels=32, global_block_channels=(16, 24, 32),
+                     fusion_out_channels=32, pool_scales=(1, 2))
+    _forward_compare(model, {"params": params, "batch_stats": stats},
+                     feats, x_np, atol=5e-4)
