@@ -84,7 +84,7 @@ def _squashed_logits(spec: ControllerSpec, logits: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample(params: Dict, spec: ControllerSpec, key: jax.Array,
-           batch_size: int):
+           batch_size: int, forced_actions: jnp.ndarray | None = None):
     """Draw ``batch_size`` policies (the M of the search loop).
 
     Returns (policies, op_probs, mag_probs, log_probs, entropies) with the
@@ -92,6 +92,10 @@ def sample(params: Dict, spec: ControllerSpec, key: jax.Array,
     op_probs (num_ops,) / mag_probs (num_mags,) — token-probability vectors
     averaged over batch and steps; log_probs (B,) and entropies (B,) summed
     over the token sequence.
+
+    ``forced_actions`` (B, Q*L*2) replaces the categorical draws with given
+    tokens (teacher forcing) — used by the torch-oracle parity tests to pin
+    the sample path's probs/entropies deterministically.
     """
     b = batch_size
     e, hd = spec.embedding_dim, spec.hidden_dim
@@ -99,6 +103,7 @@ def sample(params: Dict, spec: ControllerSpec, key: jax.Array,
     policies, log_probs, entropies = [], [], []
     op_probs, mag_probs = [], []
     keys = iter(jax.random.split(key, spec.Q * spec.L * 2))
+    step = 0
 
     for _ in range(spec.Q):
         inp = jnp.zeros((b, e))
@@ -114,7 +119,10 @@ def sample(params: Dict, spec: ControllerSpec, key: jax.Array,
                 logp = jax.nn.log_softmax(z, axis=-1)
                 p = jnp.exp(logp)
                 entropy = -jnp.sum(logp * p, axis=-1)
-                action = jax.random.categorical(next(keys), z, axis=-1)
+                if forced_actions is None:
+                    action = jax.random.categorical(next(keys), z, axis=-1)
+                else:
+                    action = forced_actions[:, step]
                 sel_logp = jnp.take_along_axis(
                     logp, action[:, None], axis=1)[:, 0]
 
@@ -124,6 +132,7 @@ def sample(params: Dict, spec: ControllerSpec, key: jax.Array,
                 probs_acc.append(p)
 
                 inp = params["embedding"][action + offset]
+                step += 1
 
     policies = jnp.stack(policies, axis=-1).astype(jnp.int32)  # (B, Q*L*2)
     log_probs = jnp.sum(jnp.stack(log_probs, axis=-1), axis=-1)
