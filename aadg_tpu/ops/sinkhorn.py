@@ -112,7 +112,8 @@ def sinkhorn_divergence(x: jnp.ndarray, y: jnp.ndarray,
 
 def pairwise_domain_ot(features: jnp.ndarray, blur: float = 0.05,
                        scaling: float = 0.5, debias: bool = True,
-                       extra_iters: int = 5) -> jnp.ndarray:
+                       extra_iters: int = 5,
+                       diameter: float = 2.0) -> jnp.ndarray:
     """Sum of Sinkhorn divergences over all domain pairs.
 
     features: (D, B, F) — D domains, B samples each (the static-shape
@@ -128,5 +129,5 @@ def pairwise_domain_ot(features: jnp.ndarray, blur: float = 0.05,
 
     div = jax.vmap(lambda u, v: sinkhorn_divergence(
         u, v, blur=blur, scaling=scaling, debias=debias,
-        extra_iters=extra_iters))(xs, ys)
+        extra_iters=extra_iters, diameter=diameter))(xs, ys)
     return jnp.sum(div)
