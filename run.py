@@ -12,6 +12,7 @@ devices by default). ``--mode test`` works (the reference's crashes:
 """
 
 import argparse
+import os
 import sys
 
 from aadg_tpu.config import load_config
@@ -31,6 +32,25 @@ def parse_args(argv=None):
                         help="devices on the data mesh axis (-1 = all)")
     parser.add_argument("--smoke_test", action="store_true",
                         help="tiny run: 2 epochs (1 warmup), 2 steps/epoch")
+    # multi-host launch (reference analogue: `distributed.py:15-31`'s
+    # mp.spawn + tcp:// rendezvous). One process per host:
+    #   python run.py --coordinator host0:1234 --num_processes 2 \
+    #       --process_id $I ...
+    # or env-driven (for launchers that can't edit the command line):
+    #   AADG_COORDINATOR / AADG_NUM_PROCESSES / AADG_PROCESS_ID.
+    # On TPU pods all three may be omitted (auto-discovery).
+    parser.add_argument("--coordinator", type=str,
+                        default=os.environ.get("AADG_COORDINATOR"),
+                        help="multi-host coordinator address host:port")
+    parser.add_argument("--num_processes", type=int,
+                        default=int(os.environ.get(
+                            "AADG_NUM_PROCESSES", "0")) or None,
+                        help="total processes in the multi-host job")
+    parser.add_argument("--process_id", type=int,
+                        default=(int(os.environ["AADG_PROCESS_ID"])
+                                 if "AADG_PROCESS_ID" in os.environ
+                                 else None),
+                        help="this process's rank in the multi-host job")
     # reference-launcher compat (`/root/reference/run.py:16-36`): accepted
     # so a reference command line runs unchanged; mapped onto the mesh or
     # ignored (JAX is single-controller — no rendezvous/worker procs)
@@ -48,6 +68,13 @@ def parse_args(argv=None):
     parser.add_argument("opts", nargs=argparse.REMAINDER,
                         help="config overrides: KEY VALUE ...")
     args = parser.parse_args(argv)
+    if (args.coordinator is None and args.dist_url
+            and (args.world_size or 0) > 1):
+        # reference launch line compat: --dist_url tcp://host:port
+        # --world_size N --rank I (`distributed.py:19-23`)
+        args.coordinator = args.dist_url.split("://", 1)[-1]
+        args.num_processes = args.world_size
+        args.process_id = args.rank
     if args.data_parallel == -1 and (args.gpus or 0) > 1:
         # the reference's "one process per GPU" ⇒ shard the batch over
         # that many chips on the data mesh axis (the -1 default already
@@ -59,8 +86,23 @@ def parse_args(argv=None):
     return args
 
 
+def maybe_initialize_multihost(args) -> bool:
+    """Bring up `jax.distributed` from the CLI surface (before any backend
+    use). Returns True when a multi-host rendezvous was performed."""
+    if args.coordinator is None:
+        # `--multiprocessing_distributed` alone stays a no-op: JAX is
+        # single-controller, every local chip is already on the mesh.
+        return False
+    from aadg_tpu.parallel.mesh import initialize_multihost
+    initialize_multihost(args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
+    return True
+
+
 def main():
     args = parse_args()
+    maybe_initialize_multihost(args)
 
     cfg = load_config(args.cfg, args.opts or None)
     cfg.OUTPUT_DIR = args.output_dir
