@@ -153,7 +153,10 @@ class SyntheticDataset:
         for d in range(n_domains):
             imgs, labels, rois, names = [], [], [], []
             for i in range(n_per_domain):
-                if task == "optic":
+                if task == "optic_tint":
+                    img, lab = self._make_optic_tint(rng, size, d)
+                    roi = None
+                elif task == "optic":
                     img, lab = self._make_optic(rng, size, d)
                     roi = None
                 else:
@@ -165,6 +168,33 @@ class SyntheticDataset:
             self.domains.append(DomainData(
                 f"SYN{d}", np.stack(imgs), np.stack(labels), names,
                 rois=np.stack(rois) if rois else None))
+
+    @staticmethod
+    def _make_optic_tint(rng, size, domain):
+        """Learning-testbed variant (tools/prove_learning.py): domains are
+        identical except a CHROMA tint under pure-LUMA noise — all
+        stochastic content is replicated across channels, and domain d
+        adds a fixed (+t, 0, -t) channel offset. By construction the only
+        domain-discriminative signal lives in the chroma axis, so the
+        Color op (PIL saturation enhance: gray + v*(x - gray)) at v > 1
+        amplifies the inter-domain signal while leaving the luma noise
+        unchanged, and histogram/offset-normalizing ops (AutoContrast's
+        per-channel min-max stretch, Equalize) erase it."""
+        yy, xx = np.mgrid[0:size, 0:size]
+        cy, cx = rng.uniform(size * .3, size * .7, 2)
+        r_disc = rng.uniform(size * .15, size * .25)
+        r_cup = r_disc * rng.uniform(0.4, 0.7)
+        disc = (yy - cy) ** 2 + (xx - cx) ** 2 < r_disc ** 2
+        cup = (yy - cy) ** 2 + (xx - cx) ** 2 < r_cup ** 2
+        luma = rng.normal(85.0, 15.0, (size, size, 1))
+        luma[disc] += 50
+        luma[cup] += 25
+        tint = float(25 * (domain - 1))  # -25 / 0 / +25
+        img = np.clip(luma + np.array([tint, 0.0, -tint]), 0, 255)
+        lab = np.full((size, size), 255, np.uint8)
+        lab[disc] = 128
+        lab[cup] = 0
+        return img.astype(np.uint8), lab
 
     @staticmethod
     def _make_optic(rng, size, domain):
@@ -217,7 +247,8 @@ def build_dataset(cfg, phase: str):
         return RVSDataset(cfg.DATASET.ROOT, phase=phase,
                           splitid=list(splitid))
     if name.startswith("synthetic"):
-        task = "optic" if "optic" in name else "rvs"
+        task = ("optic_tint" if "optic_tint" in name
+                else "optic" if "optic" in name else "rvs")
         n_dom = 3 if phase == "train" else 1
         size = int(getattr(cfg.TPU, "SYNTHETIC_SIZE", 64))
         return SyntheticDataset(task=task, n_domains=n_dom,
