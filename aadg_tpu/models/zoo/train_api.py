@@ -77,11 +77,16 @@ def build_optimizer(optimizer: Optional[dict] = None,
     """mmseg-config-convention optimizer + LR policy -> optax transform.
 
     ``optimizer``: mmseg dict, e.g. ``dict(type='SGD', lr=0.01,
-    momentum=0.9, weight_decay=0.0005)`` (the zoo configs' default) or
-    ``dict(type='Adam', lr=...)`` — built by mmcv's ``build_optimizer``
-    from ``cfg.optimizer`` (`/root/reference/models/mmseg/apis/train.py:71`).
+    momentum=0.9, weight_decay=0.0005)`` (the zoo configs' default),
+    ``dict(type='Adam', lr=...)``, or ``dict(type='AdamW', lr=6e-5,
+    betas=(0.9, 0.999), weight_decay=0.01)`` (the SegFormer recipe) —
+    built by mmcv's ``build_optimizer`` from ``cfg.optimizer``
+    (`/root/reference/models/mmseg/apis/train.py:71`).
     torch-SGD semantics: weight decay is added to the gradient BEFORE the
-    momentum buffer, and the lr scales the buffered update.
+    momentum buffer, and the lr scales the buffered update; AdamW decay is
+    decoupled. ``paramwise_cfg=dict(custom_keys={...})`` applies mmcv's
+    per-group ``lr_mult``/``decay_mult`` by substring match on the dotted
+    param path (longest key wins) — all three torch-oracle-tested.
 
     ``lr_config``: ``dict(policy='poly', power=0.9, min_lr=1e-4)`` (the
     mmseg schedules' default, registered via
@@ -101,6 +106,60 @@ def build_optimizer(optimizer: Optional[dict] = None,
     opt = dict(optimizer or {"type": "Adam", "lr": 1e-3})
     kind = opt.pop("type")
     base_lr = float(opt.pop("lr"))
+    # mmcv DefaultOptimizerConstructor paramwise_cfg.custom_keys
+    # (`mmcv/runner/optimizer/default_constructor.py`): per-parameter-group
+    # lr_mult/decay_mult, matched by SUBSTRING of the parameter name with
+    # the longest key winning (mmcv sorts keys and takes the first hit; we
+    # sort longest-first so e.g. 'decode_head.norm' shadows 'norm'). Flax
+    # param paths are dotted the same way torch module names are, so the
+    # published configs' keys ('norm', 'head', 'pos_block') apply as-is.
+    pw = opt.pop("paramwise_cfg", None)
+    custom_keys = {}
+    if pw:
+        pwc = dict(pw)
+        custom_keys = {str(k): dict(v)
+                       for k, v in dict(pwc.pop("custom_keys", {})).items()}
+        assert not pwc, f"unsupported paramwise_cfg keys {pwc}"
+
+    def _mults(path) -> tuple:
+        name = ".".join(
+            str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k))))
+            for k in path)
+        for key in sorted(custom_keys, key=len, reverse=True):
+            if key in name:
+                c = custom_keys[key]
+                return (float(c.get("lr_mult", 1.0)),
+                        float(c.get("decay_mult", 1.0)))
+        return 1.0, 1.0
+
+    def _paramwise_wd(wd: float):
+        """Adds ``wd * decay_mult(param) * param`` to the update — the
+        paramwise form of ``optax.add_decayed_weights`` (placed before the
+        momentum buffer for SGD/Adam = torch coupled L2, after
+        ``scale_by_adam`` for AdamW = decoupled)."""
+        def update_fn(updates, state, params=None):
+            assert params is not None
+            upd = jax.tree_util.tree_map_with_path(
+                lambda path, u, p: u + wd * _mults(path)[1] * p,
+                updates, params)
+            return upd, state
+        return optax.GradientTransformation(
+            lambda params: optax.EmptyState(), update_fn)
+
+    def _paramwise_lr():
+        """Scales each leaf's update by its group's lr_mult (mmcv sets
+        group lr = base_lr * lr_mult; placed after scale_by_learning_rate
+        so the mult applies to the whole step, weight decay included —
+        exactly what per-group lr does in torch)."""
+        def update_fn(updates, state, params=None):
+            upd = jax.tree_util.tree_map_with_path(
+                lambda path, u: u * _mults(path)[0], updates)
+            return upd, state
+        return optax.GradientTransformation(
+            lambda params: optax.EmptyState(), update_fn)
+
+    has_lr_mult = any(float(c.get("lr_mult", 1.0)) != 1.0
+                      for c in custom_keys.values())
     if lr_config is not None:
         c = dict(lr_config)
         policy = c.pop("type", None) or c.pop("policy")
@@ -124,29 +183,51 @@ def build_optimizer(optimizer: Optional[dict] = None,
             assert gc.pop("norm_type", 2) == 2, "only L2 grad_clip"
             clip = optax.clip_by_global_norm(float(gc.pop("max_norm")))
             assert not gc, f"unknown grad_clip keys {gc}"
+    def _wd_part(wd):
+        return _paramwise_wd(wd) if custom_keys else \
+            optax.add_decayed_weights(wd)
+
     if kind == "SGD":
         momentum = float(opt.pop("momentum", 0.0))
         wd = float(opt.pop("weight_decay", 0.0))
         assert not opt, f"unknown optimizer keys {opt}"
         parts = [clip] if clip is not None else []
         if wd:
-            parts.append(optax.add_decayed_weights(wd))
+            parts.append(_wd_part(wd))
         if momentum:
             parts.append(optax.trace(decay=momentum, nesterov=False))
         parts.append(optax.scale_by_learning_rate(schedule))
-        tx = optax.chain(*parts)
     elif kind == "Adam":
         wd = float(opt.pop("weight_decay", 0.0))
         assert not opt, f"unknown optimizer keys {opt}"
         parts = [optax.scale_by_adam(eps=1e-8)]
         if wd:
-            parts.insert(0, optax.add_decayed_weights(wd))
+            # torch Adam's weight_decay is COUPLED: added to the gradient
+            # before the moment estimates
+            parts.insert(0, _wd_part(wd))
         if clip is not None:
             parts.insert(0, clip)
         parts.append(optax.scale_by_learning_rate(schedule))
-        tx = optax.chain(*parts)
+    elif kind == "AdamW":
+        # torch AdamW (the published SegFormer recipe,
+        # `configs/segformer/*`): DECOUPLED weight decay —
+        # p -= lr * (adam_step + wd * p) — so the decay term sits AFTER
+        # scale_by_adam and shares the lr (and any lr_mult)
+        b1, b2 = opt.pop("betas", (0.9, 0.999))
+        eps = float(opt.pop("eps", 1e-8))
+        wd = float(opt.pop("weight_decay", 0.0))
+        assert not opt, f"unknown optimizer keys {opt}"
+        parts = [clip] if clip is not None else []
+        parts.append(optax.scale_by_adam(b1=float(b1), b2=float(b2),
+                                         eps=eps))
+        if wd:
+            parts.append(_wd_part(wd))
+        parts.append(optax.scale_by_learning_rate(schedule))
     else:
         raise ValueError(f"unsupported optimizer type {kind}")
+    if has_lr_mult:
+        parts.append(_paramwise_lr())
+    tx = optax.chain(*parts)
     return tx, schedule
 
 

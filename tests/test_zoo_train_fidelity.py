@@ -78,6 +78,125 @@ def test_sgd_momentum_wd_poly_matches_torch():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_adamw_poly_matches_torch():
+    # the published SegFormer recipe's optimizer (`configs/segformer/*`):
+    # AdamW 6e-5, betas (0.9, 0.999), wd 0.01, poly power 1.0 — torch
+    # AdamW decay is DECOUPLED: p -= lr*wd*p before the adam step
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    w0 = rng.normal(0, 1, (4, 3)).astype(np.float32)
+    grads = [rng.normal(0, 1, (4, 3)).astype(np.float32) for _ in range(6)]
+    max_iters, base_lr, wd = 6, 6e-2, 0.01  # lr scaled up so decay shows
+
+    p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.AdamW([p], lr=base_lr, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=wd)
+    sched = poly_lr(base_lr, max_iters, power=1.0, min_lr=0.0)
+    for i, g in enumerate(grads):
+        for group in opt.param_groups:
+            group["lr"] = float(sched(i))
+        opt.zero_grad()
+        p.grad = torch.from_numpy(g.copy())
+        opt.step()
+    want = p.detach().numpy()
+
+    tx, _ = build_optimizer(
+        dict(type="AdamW", lr=base_lr, betas=(0.9, 0.999),
+             weight_decay=wd),
+        dict(policy="poly", power=1.0, min_lr=0.0), max_iters)
+    import optax
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        upd, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]), want,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_adamw_paramwise_custom_keys_matches_torch():
+    # mmcv paramwise_cfg.custom_keys (the SegFormer recipe:
+    # norm -> decay_mult 0, head -> lr_mult 10): torch oracle = param
+    # groups with lr = base*lr_mult (re-set per iter by the poly hook,
+    # which scales the group lr by the same factor) and
+    # weight_decay = wd*decay_mult
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    shapes = {"backbone.norm": (3, 4), "backbone.conv": (4, 4),
+              "decode_head.w": (2, 5)}
+    w0 = {k: rng.normal(0, 1, s).astype(np.float32)
+          for k, s in shapes.items()}
+    grads = [{k: rng.normal(0, 1, s).astype(np.float32)
+              for k, s in shapes.items()} for _ in range(5)]
+    max_iters, base_lr, wd = 5, 6e-2, 0.01
+    mults = {"backbone.norm": (1.0, 0.0), "backbone.conv": (1.0, 1.0),
+             "decode_head.w": (10.0, 1.0)}
+
+    ps = {k: torch.nn.Parameter(torch.from_numpy(v.copy()))
+          for k, v in w0.items()}
+    opt = torch.optim.AdamW(
+        [{"params": [ps[k]], "lr": base_lr * lm, "weight_decay": wd * dm,
+          "name": k} for k, (lm, dm) in mults.items()],
+        lr=base_lr, betas=(0.9, 0.999), eps=1e-8)
+    sched = poly_lr(base_lr, max_iters, power=1.0, min_lr=0.0)
+    for i, g in enumerate(grads):
+        for group in opt.param_groups:
+            lm, _ = mults[group["name"]]
+            group["lr"] = float(sched(i)) * lm
+        opt.zero_grad()
+        for k in ps:
+            ps[k].grad = torch.from_numpy(g[k].copy())
+        opt.step()
+    want = {k: p.detach().numpy() for k, p in ps.items()}
+
+    tx, _ = build_optimizer(
+        dict(type="AdamW", lr=base_lr, betas=(0.9, 0.999),
+             weight_decay=wd,
+             paramwise_cfg=dict(custom_keys={
+                 "norm": dict(decay_mult=0.0),
+                 "head": dict(lr_mult=10.0)})),
+        dict(policy="poly", power=1.0, min_lr=0.0), max_iters)
+    import optax
+    params = {"backbone": {"norm": jnp.asarray(w0["backbone.norm"]),
+                           "conv": jnp.asarray(w0["backbone.conv"])},
+              "decode_head": {"w": jnp.asarray(w0["decode_head.w"])}}
+    state = tx.init(params)
+    for g in grads:
+        gt = {"backbone": {"norm": jnp.asarray(g["backbone.norm"]),
+                           "conv": jnp.asarray(g["backbone.conv"])},
+              "decode_head": {"w": jnp.asarray(g["decode_head.w"])}}
+        upd, state = tx.update(gt, state, params)
+        params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params["backbone"]["norm"]),
+                               want["backbone.norm"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["backbone"]["conv"]),
+                               want["backbone.conv"], rtol=1e-5, atol=1e-6)
+    # lr_mult=10 amplifies f32 mul-ordering noise (we fold the mult into
+    # the update, torch folds it into the group lr) — loosen atol
+    np.testing.assert_allclose(np.asarray(params["decode_head"]["w"]),
+                               want["decode_head.w"], rtol=1e-4, atol=2e-5)
+
+
+def test_custom_keys_longest_match_wins():
+    # mmcv applies the first (sorted) matching key; we sort longest-first
+    # so a more specific key shadows a generic one
+    import optax
+    tx, _ = build_optimizer(
+        dict(type="SGD", lr=1.0, weight_decay=1.0,
+             paramwise_cfg=dict(custom_keys={
+                 "norm": dict(decay_mult=0.0),
+                 "backbone.norm": dict(decay_mult=0.5)})))
+    params = {"backbone": {"norm": jnp.ones((2,))},
+              "head": {"norm": jnp.ones((2,))}}
+    state = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.zeros_like, params)
+    upd, _ = tx.update(g, state, params)
+    # update = -lr * wd * decay_mult * p  (zero grads)
+    np.testing.assert_allclose(np.asarray(upd["backbone"]["norm"]),
+                               -0.5, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(upd["head"]["norm"]), 0.0)
+
+
 class _MemDataset:
     """Minimal in-memory pipeline-dataset stand-in."""
 

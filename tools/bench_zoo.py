@@ -1,4 +1,4 @@
-"""Zoo segmentor inference throughput on the real TPU.
+"""Zoo segmentor inference + training throughput on the real TPU.
 
 Serving-oriented companion to the headline ``bench.py``: batched
 whole-image eval-mode forward (argmax label maps) for representative zoo
@@ -6,7 +6,14 @@ architectures, timed inside one ``lax.scan`` program with a forced host
 readback (`CLAUDE.md` #3 — ``block_until_ready`` is unreliable on the
 remote-attached backend).
 
-Usage: ``python tools/bench_zoo.py [--size 512] [--batch 8]``.
+``--train`` benches the TRAINING step instead (VERDICT r3 #6): full
+fwd/bwd + optimizer update at the mmseg recipe for each config — SGD
+momentum 0.9 / wd 5e-4 / poly(0.9) for the CNN family with the recipe's
+auxiliary FCN head (`mmseg/configs/_base_/models/*r50*.py`), AdamW
+6e-5 / wd 0.01 / poly(1.0) for SegFormer — same scan+readback protocol,
+plus single-step XLA cost analysis (MFU / HBM fraction).
+
+Usage: ``python tools/bench_zoo.py [--train] [--size 512] [--batch 8]``.
 Prints one JSON line per (arch, backbone) pair.
 """
 
@@ -26,6 +33,129 @@ PAIRS = (
     ("fcn", "unet_s5_d16"),
 )
 
+# (name, aux head recipe?, optimizer dict, lr_config dict) — the mmseg
+# training recipes for the train bench (`apis/train.py:71-90` consumes
+# these from cfg.optimizer/cfg.lr_config)
+TRAIN_RECIPES = (
+    ("fcn", "resnet50_v1c", True,
+     dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=0.0005),
+     dict(policy="poly", power=0.9, min_lr=1e-4)),
+    ("deeplabv3plus", "resnet50_v1c", True,
+     dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=0.0005),
+     dict(policy="poly", power=0.9, min_lr=1e-4)),
+    ("segformer", "mit_b1", False,
+     dict(type="AdamW", lr=6e-5, betas=(0.9, 0.999), weight_decay=0.01),
+     dict(policy="poly", power=1.0, min_lr=0.0)),
+)
+
+
+def bench_train(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from aadg_tpu.models.zoo.builder import build_segmentor
+    from aadg_tpu.models.zoo.heads import FCNHead
+    from aadg_tpu.models.zoo.losses import cross_entropy
+    from aadg_tpu.models.zoo.train_api import build_optimizer
+    from aadg_tpu.models.segformer import SegFormer
+    from bench import _program_costs, _peak_flops, _hbm_bw
+
+    n_cls = 19
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (args.batch, args.size, args.size, 3),
+                           jnp.float32)
+    y = jax.random.randint(jax.random.PRNGKey(1),
+                           (args.batch, args.size, args.size), 0, n_cls)
+
+    for arch, bb, aux, opt_cfg, lr_cfg in TRAIN_RECIPES:
+        if arch == "segformer":
+            model = SegFormer(num_classes=n_cls, variant=bb)
+            has_aux = False
+        else:
+            model, _ = build_segmentor(arch, bb, num_classes=n_cls)
+            if aux:
+                # the R50 recipes' deep-supervision FCN aux head
+                # (in_index=2, channels=256, num_convs=1)
+                model = model.clone(auxiliary_heads=(
+                    FCNHead(num_classes=n_cls, channels=256, num_convs=1,
+                            concat_input=False, in_index=2),))
+            has_aux = aux
+        name = f"{arch}/{bb}"
+
+        x_init = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        if has_aux:
+            variables = jax.jit(lambda k, xi, m=model: m.init(
+                k, xi, train=True,
+                method=type(m).forward_train))(jax.random.PRNGKey(0),
+                                               x_init)
+        else:
+            variables = jax.jit(lambda k, xi, m=model: m.init(
+                k, xi, train=True))(jax.random.PRNGKey(0), x_init)
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        tx, _ = build_optimizer(opt_cfg, lr_cfg, max_iters=1000)
+        opt = jax.jit(tx.init)(params)
+
+        def one_step(params, stats, opt, x, y, key, model=model,
+                     tx=tx, has_aux=has_aux):
+            def loss_fn(p):
+                v = {"params": p}
+                if stats:
+                    v["batch_stats"] = stats
+                if has_aux:
+                    (logits, _, aux_l), new = model.apply(
+                        v, x, train=True, mutable=["batch_stats"],
+                        rngs={"dropout": key},
+                        method=type(model).forward_train)
+                else:
+                    (logits, _), new = model.apply(
+                        v, x, train=True, mutable=["batch_stats"],
+                        rngs={"dropout": key})
+                    aux_l = ()
+                loss = cross_entropy(logits, y, ignore_index=255)
+                for a in aux_l:
+                    loss = loss + 0.4 * cross_entropy(a, y,
+                                                      ignore_index=255)
+                return loss, new.get("batch_stats", {})
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            upd, opt2 = tx.update(grads, opt, params)
+            return optax.apply_updates(params, upd), new_stats, opt2, loss
+
+        def epoch(params, stats, opt, x, y, key):
+            def body(carry, k):
+                p, s, o = carry
+                p, s, o, loss = one_step(p, s, o, x, y, k)
+                return (p, s, o), loss
+            (p, s, o), losses = jax.lax.scan(
+                body, (params, stats, opt),
+                jax.random.split(key, args.iters))
+            return jnp.sum(losses)
+
+        run = jax.jit(epoch).lower(params, stats, opt, x, y, key).compile()
+        float(run(params, stats, opt, x, y, key))  # warmup
+        t0 = time.time()
+        float(run(params, stats, opt, x, y, jax.random.PRNGKey(7)))
+        dt = (time.time() - t0) / args.iters
+
+        one = jax.jit(one_step).lower(params, stats, opt, x, y,
+                                      key).compile()
+        flops, nbytes = _program_costs(one)
+        dev = jax.devices()[0]
+        peak, bw = _peak_flops(dev), _hbm_bw(dev)
+        mfu = (flops / dt) / peak if peak and flops else 0.0
+        bw_frac = (nbytes / dt) / bw if bw and nbytes else 0.0
+        print(json.dumps({
+            "model": name, "mode": "train",
+            "optimizer": opt_cfg["type"], "aux_head": has_aux,
+            "batch": args.batch, "size": args.size,
+            "ms_per_step": round(dt * 1e3, 2),
+            "img_per_sec": round(args.batch / dt, 1),
+            "mfu": round(mfu, 4),
+            "hbm_frac": round(bw_frac, 4)}), flush=True)
+
 
 def main():
     import jax
@@ -38,7 +168,14 @@ def main():
     ap.add_argument("--dtype", default=None,
                     help="serving compute dtype, e.g. bfloat16 "
                          "(params+inputs cast at the boundary)")
+    ap.add_argument("--train", action="store_true",
+                    help="bench the training step (mmseg recipes) instead "
+                         "of eval-mode serving")
     args = ap.parse_args()
+
+    if args.train:
+        bench_train(args)
+        return
 
     from aadg_tpu.models.zoo.builder import build_segmentor
     from aadg_tpu.models.segformer import SegFormer
