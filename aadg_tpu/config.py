@@ -231,6 +231,12 @@ def default_config() -> CfgNode:
     _C.TPU.AUTOAUGMENT = False
     # Write a jax profiler trace of one epoch to <run_dir>/profile/.
     _C.TPU.PROFILE = False
+    # Per-block activation checkpointing in the flagship encoder
+    # (models/mobilenetv2.py): cuts peak HBM for large-batch envelopes at
+    # ~1/3 extra forward FLOPs. Numerics and param tree unchanged. Keep
+    # False at the reference batch — the step is bandwidth-bound there and
+    # remat only adds traffic (measured, RESULTS.md round 4).
+    _C.TPU.REMAT = False
     # Path to a converted pretrained-encoder msgpack (written by
     # tools/convert_torch_weights.py); grafted into the model's params at
     # init (utils/pretrained.py). "" = random init. Optionally

@@ -50,7 +50,8 @@ def build_model(cfg, axis_name=None):
     if name == "deeplabv3+":
         assert cfg.MODEL.BACKBONE in ("mobilenet_v2",)
         return DeepLabV3Plus(num_classes=num_classes, axis_name=axis_name,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             remat=bool(cfg.TPU.REMAT))
     if name == "unet":
         return UNet(in_channels=3, out_channels=num_classes,
                     axis_name=axis_name)

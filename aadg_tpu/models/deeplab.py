@@ -104,12 +104,16 @@ class DeepLabV3Plus(nn.Module):
     decoder_channels: int = 256
     axis_name: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.float32
+    # per-block activation checkpointing in the encoder (see
+    # MobileNetV2Encoder.remat); numerics + param tree unchanged
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         an = self.axis_name
         low, high = MobileNetV2Encoder(
-            axis_name=an, dtype=self.compute_dtype, name="encoder")(x, train)
+            axis_name=an, dtype=self.compute_dtype, remat=self.remat,
+            name="encoder")(x, train)
 
         y = ASPP(self.decoder_channels, axis_name=an,
                  dtype=self.compute_dtype, name="aspp")(high, train)

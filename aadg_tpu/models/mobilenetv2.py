@@ -102,22 +102,40 @@ _SETTINGS = [
 
 
 class MobileNetV2Encoder(nn.Module):
-    """Returns (low_level C2 @1/4 24ch, high_level C5 1280ch)."""
+    """Returns (low_level C2 @1/4 24ch, high_level C5 1280ch).
+
+    ``remat=True`` wraps every inverted-residual block in ``nn.remat``
+    (per-block activation checkpointing): only block-boundary activations
+    stay alive across the fwd/bwd boundary, and each block's expansion
+    activations are recomputed during its own backward — cutting peak HBM
+    at the cost of ~⅓ extra forward FLOPs. Numerics are identical (same
+    ops, tested); param tree is unchanged, so checkpoints interoperate.
+    Off by default: at the reference batch (B=8) the step is at its HBM
+    roofline and remat only adds traffic; it is a lever for large-batch
+    envelopes where peak memory approaches the 16 GB chip."""
     width_mult: float = 1.0
     output_stride: int = 16
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         an = self.axis_name
+        # static_argnums: 0 is the module instance in linen's lifted
+        # remat; 2 is the `train` bool
+        block_cls = (nn.remat(InvertedResidual, static_argnums=(2,))
+                     if self.remat else InvertedResidual)
         x = x.astype(self.dtype)
         x = ConvBNReLU6(_make_divisible(32 * self.width_mult), kernel=3,
                         stride=2, axis_name=an, dtype=self.dtype)(x, train)
         low_level = None
         current_stride = 2
         dilation = 1
+        blk = 0  # explicit sequential names = the auto-names the
+        # unlifted class would get, so remat on/off (and existing
+        # checkpoints) share one param tree
         for block_idx, (t, c, n, s) in enumerate(_SETTINGS):
             out_ch = _make_divisible(c * self.width_mult)
             for i in range(n):
@@ -126,9 +144,11 @@ class MobileNetV2Encoder(nn.Module):
                     # dilate instead of striding past the output stride
                     dilation *= 2
                     stride = 1
-                x = InvertedResidual(out_ch, stride, t,
-                                     dilation=dilation if stride == 1 else 1,
-                                     axis_name=an, dtype=self.dtype)(x, train)
+                x = block_cls(out_ch, stride, t,
+                              dilation=dilation if stride == 1 else 1,
+                              axis_name=an, dtype=self.dtype,
+                              name=f"InvertedResidual_{blk}")(x, train)
+                blk += 1
                 if stride == 2:
                     current_stride *= 2
             if block_idx == 1:  # after the 24-channel stage: C2 @ 1/4

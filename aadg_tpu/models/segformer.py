@@ -8,7 +8,8 @@ Capability match for the reference's SegFormer path
 Mix-FFN are batched matmuls; efficient attention uses the MiT
 spatial-reduction (stride-sr conv on K/V).
 
-Variants b0-b3 (the reference exposes b1/b2/b3, `segformer.py:16-35`).
+Variants b0-b5 (the reference instantiates b1/b2/b3, `segformer.py:16-35`;
+hyperparameters for the rest per `mix_transformer.py:374-424`).
 Returns ``(seg_logits, pooled_last_stage_feature)`` — the framework's
 (seg, feature) model contract.
 """
@@ -30,6 +31,10 @@ VARIANTS = {
     "mit_b2": ((64, 128, 320, 512), (3, 4, 6, 3), (1, 2, 5, 8),
                (8, 4, 2, 1), 4),
     "mit_b3": ((64, 128, 320, 512), (3, 4, 18, 3), (1, 2, 5, 8),
+               (8, 4, 2, 1), 4),
+    "mit_b4": ((64, 128, 320, 512), (3, 8, 27, 3), (1, 2, 5, 8),
+               (8, 4, 2, 1), 4),
+    "mit_b5": ((64, 128, 320, 512), (3, 6, 40, 3), (1, 2, 5, 8),
                (8, 4, 2, 1), 4),
 }
 

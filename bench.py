@@ -81,7 +81,7 @@ def _program_costs(compiled):
         return 0.0, 0.0
 
 
-def main(scenario: str = "optic", batch: int = 8):
+def main(scenario: str = "optic", batch: int = 8, remat: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +98,7 @@ def main(scenario: str = "optic", batch: int = 8):
     cfg.TRAIN.BATCH_SIZE = batch
     cfg.CONTROLLER.M = 6
     cfg.TPU.CROP_SIZE = 256
+    cfg.TPU.REMAT = remat
 
     # reference-shaped data: 3 domains at the task's native resolution
     size = 256 if scenario == "optic" else 512
@@ -171,6 +172,8 @@ def main(scenario: str = "optic", batch: int = 8):
 
     prefix = "" if scenario == "optic" else f"{scenario}_"
     suffix = "" if batch == 8 else f"_b{batch}"
+    if remat:
+        suffix += "_remat"
     print(json.dumps({
         "metric": (f"{prefix}search_step_augmented_images_per_sec_per_chip"
                    f"{suffix}"),
@@ -193,5 +196,8 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=8,
                     help="per-step batch (img load = batch x 3 domains x "
                          "M=6); default 8 = the reference shape")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block encoder activation checkpointing "
+                         "(TPU.REMAT) — a large-batch peak-memory lever")
     a = ap.parse_args()
-    main(a.scenario, a.batch)
+    main(a.scenario, a.batch, a.remat)

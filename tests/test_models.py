@@ -122,3 +122,34 @@ class TestSegModels:
             variables, jnp.ones((2, 128, 128, 3)), train=True,
             mutable=["batch_stats"])
         assert "batch_stats" in upd
+
+
+@pytest.mark.slow
+def test_deeplab_remat_identical_tree_outputs_grads():
+    """remat=True (per-block nn.remat in the MobileNetV2 encoder) must be
+    a pure scheduling change: identical param/stat tree (explicit
+    sequential block names = the unlifted auto-names, so checkpoints
+    interoperate), identical outputs, identical gradients."""
+    x = jnp.linspace(0, 255, 2 * 64 * 64 * 3).reshape((2, 64, 64, 3))
+    base = DeepLabV3Plus(num_classes=2)
+    rmt = DeepLabV3Plus(num_classes=2, remat=True)
+    v = base.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = rmt.init(jax.random.PRNGKey(0), x, train=False)
+    p1 = jax.tree_util.tree_structure(v)
+    p2 = jax.tree_util.tree_structure(v2)
+    assert p1 == p2, "remat changed the variable tree"
+
+    def loss(model, variables):
+        (logits, feat), _ = model.apply(variables, x, train=True,
+                                        mutable=["batch_stats"])
+        return jnp.mean(logits ** 2) + jnp.mean(feat ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(base, {**v, "params": p}))(
+        v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(rmt, {**v, "params": p}))(
+        v["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -36,3 +36,26 @@ def test_drop_path_train_vs_eval():
     (t2, _), _ = m.apply(v, x, train=True, mutable=["batch_stats"],
                          rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_variant_table_b4_b5():
+    # mix_transformer.py:374-424 hyperparameters: b4 depths (3,8,27,3),
+    # b5 (3,6,40,3); both 512-wide last stage, heads (1,2,5,8), mlp x4
+    from aadg_tpu.models.segformer import VARIANTS
+    for name, depths in (("mit_b4", (3, 8, 27, 3)),
+                         ("mit_b5", (3, 6, 40, 3))):
+        dims, d, heads, srs, mlp = VARIANTS[name]
+        assert d == depths, name
+        assert dims == (64, 128, 320, 512), name
+        assert heads == (1, 2, 5, 8) and srs == (8, 4, 2, 1) and mlp == 4
+
+
+@pytest.mark.slow
+def test_segformer_b4_contract():
+    m = SegFormer(num_classes=2, variant="mit_b4")
+    x = jnp.zeros((1, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    logits, feat = m.apply(v, x, train=False)
+    assert logits.shape == (1, 32, 32, 2)
+    assert feat.shape == (1, 512)
+    assert np.isfinite(np.asarray(logits)).all()

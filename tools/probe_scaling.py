@@ -57,6 +57,16 @@ def _mem(compiled):
         return 0
 
 
+def _mem3(compiled):
+    """(temp, argument, output) bytes from XLA buffer assignment."""
+    try:
+        ma = compiled.memory_analysis()
+        return (ma.temp_size_in_bytes, ma.argument_size_in_bytes,
+                ma.output_size_in_bytes)
+    except Exception:
+        return (0, 0, 0)
+
+
 def build(batch, M=6, n_iters=10):
     import jax
     import jax.numpy as jnp
@@ -192,10 +202,83 @@ def build(batch, M=6, n_iters=10):
         ts, rs = jax.lax.scan(body, ts, jax.random.split(key, n_iters))
         return ts, jnp.sum(rs)
 
+    def back_once_micro(ts, x, y, dc_soft, key, n_micro):
+        """back_once with the model fwd/bwd split into `n_micro` sequential
+        microbatches over the leading (per-sample) axis + grad accumulation,
+        ONE optimizer update, rewards on the full per-policy feature set.
+
+        Tests the HBM-capacity hypothesis for B>=16: each microbatch's
+        activation liveness is that of a B/n_micro step (which measures at
+        ~0.99 of floor), while per-step costs (optimizer, rewards, LUT
+        builders) stay amortized. BN batch stats are per-microbatch here
+        (sequential momentum updates) — fine for a scheduling probe; a
+        production lever would sync them like cross-device BN.
+        """
+        b = batch
+        n = x.shape[0]
+        xs = x.reshape((n_micro, n // n_micro) + x.shape[1:])
+        ys = y.reshape((n_micro, n // n_micro) + y.shape[1:])
+        dcs_ = dc_soft.reshape((n_micro, n // n_micro) + dc_soft.shape[1:])
+
+        def loss_fn(seg_params, dis_params, seg_stats, xm, ym, dcm, k):
+            logits, feat, new_seg_stats = _apply_model(
+                ent, seg_params, seg_stats, xm, train=True, rng=k)
+            seg_soft = jax.nn.sigmoid(logits)
+            seg_loss = bce_loss(seg_soft, ym)
+            dis_out_bp, _ = _apply_disc(
+                ent, dis_params, ts.dis_stats,
+                jax.lax.stop_gradient(feat), None, train=True,
+                momentum=False)
+            dis_loss_bp = soft_cross_entropy(dis_out_bp, dcm)
+            return seg_loss + dis_loss_bp, (feat, new_seg_stats)
+
+        def micro(carry, inp):
+            gsum, seg_stats = carry
+            xm, ym, dcm, k = inp
+            grads, (feat, new_stats) = jax.grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    ts.seg_params, ts.dis_params, seg_stats, xm, ym, dcm, k)
+            gsum = jax.tree_util.tree_map(lambda a, g: a + g, gsum, grads)
+            (_, dom_feat), _ = _apply_disc(
+                ent, ts.dis_params, ts.dis_stats,
+                jax.lax.stop_gradient(feat), None, train=False,
+                momentum=momentum, return_feature=True)
+            return (gsum, new_stats), dom_feat
+
+        zeros = jax.tree_util.tree_map(
+            jnp.zeros_like, (ts.seg_params, ts.dis_params))
+        (gsum, new_seg_stats), dom_feats = jax.lax.scan(
+            micro, (zeros, ts.seg_stats),
+            (xs, ys, dcs_, jax.random.split(key, n_micro)))
+        grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
+        dom_feat = dom_feats.reshape((n,) + dom_feats.shape[2:])
+        feats = dom_feat.reshape(b, 3, M, -1).transpose(2, 1, 0, 3)
+        rewards = jax.vmap(lambda f: pairwise_domain_ot(f))(feats)
+        seg_upd, seg_opt = ent.model_tx.update(grads[0], ts.seg_opt,
+                                               ts.seg_params)
+        dis_upd, dis_opt = ent.dis_tx.update(grads[1], ts.dis_opt,
+                                             ts.dis_params)
+        new_ts = type(ts)(
+            seg_params=jax.tree_util.tree_map(
+                lambda p, u: p + u, ts.seg_params, seg_upd),
+            seg_stats=new_seg_stats, seg_opt=seg_opt,
+            dis_params=jax.tree_util.tree_map(
+                lambda p, u: p + u, ts.dis_params, dis_upd),
+            dis_stats=ts.dis_stats, dis_opt=dis_opt)
+        return new_ts, rewards
+
+    def back_epoch_micro(ts, x, y, dc_soft, key, n_micro):
+        def body(carry, k):
+            carry, r = back_once_micro(carry, x, y, dc_soft, k, n_micro)
+            return carry, jnp.sum(r)
+        ts, rs = jax.lax.scan(body, ts, jax.random.split(key, n_iters))
+        return ts, jnp.sum(rs)
+
     return dict(cfg=cfg, ent=ent, sd=sd, store=store, ptens=ptens,
                 step=step, full_epoch=full_epoch, front_once=front_once,
                 front_epoch=front_epoch, back_epoch=back_epoch,
-                back_once=back_once, n_iters=n_iters)
+                back_once=back_once, back_epoch_micro=back_epoch_micro,
+                n_iters=n_iters)
 
 
 def time_compiled(fn_compiled, args, readback, n_iters):
@@ -207,7 +290,22 @@ def time_compiled(fn_compiled, args, readback, n_iters):
     return (time.time() - t0) / n_iters
 
 
-def run_probe(batch, trace_dir=None, remat=False):
+def _parse_copts(pairs):
+    """['k=v', ...] -> {k: typed v} for jit(...).compile(compiler_options=)."""
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        if v.lower() in ("true", "false"):
+            out[k] = v.lower() == "true"
+        else:
+            try:
+                out[k] = int(v)
+            except ValueError:
+                out[k] = v
+    return out
+
+
+def run_probe(batch, trace_dir=None, remat=False, micro=(), copts=None):
     import jax
     import jax.numpy as jnp
     _enable_compile_cache()
@@ -230,7 +328,21 @@ def run_probe(batch, trace_dir=None, remat=False):
     dt_full = time_compiled(full, (sd, store, ptens, key),
                             lambda o: float(o[1]), n_iters)
     fl, by = _costs(full)
-    rows.append(("full", dt_full, fl, by, _mem(full)))
+    rows.append(("full", dt_full, fl, by, _mem(full), _mem3(full)))
+
+    # full under explicit compiler-option overrides (scheduling levers)
+    if copts:
+        _t(f"compiling full epoch with compiler_options={copts}...")
+        try:
+            full_co = jax.jit(ctx["full_epoch"]).lower(
+                sd, store, ptens, key).compile(compiler_options=copts)
+            dt_co = time_compiled(full_co, (sd, store, ptens, key),
+                                  lambda o: float(o[1]), n_iters)
+            fl_c, by_c = _costs(full_co)
+            rows.append(("full_co", dt_co, fl_c, by_c, _mem(full_co),
+                         _mem3(full_co)))
+        except Exception as e:  # noqa: BLE001 - report rejected options
+            print(f"  compiler_options rejected: {e}", flush=True)
 
     # front
     _t("compiling front epoch...")
@@ -240,7 +352,7 @@ def run_probe(batch, trace_dir=None, remat=False):
     dt_fr = time_compiled(fr, (store, ptens, key),
                           lambda o: float(o), n_iters)
     fl_f, by_f = _costs(fr1)
-    rows.append(("front", dt_fr, fl_f, by_f, _mem(fr1)))
+    rows.append(("front", dt_fr, fl_f, by_f, _mem(fr1), _mem3(fr1)))
 
     # back (inputs produced once on device)
     x, y, dc = fr1(store, ptens, key)
@@ -249,7 +361,7 @@ def run_probe(batch, trace_dir=None, remat=False):
     dt_bk = time_compiled(bk, (sd, x, y, dc, key),
                           lambda o: float(o[1]), n_iters)
     fl_b, by_b = _costs(bk)
-    rows.append(("back", dt_bk, fl_b, by_b, _mem(bk)))
+    rows.append(("back", dt_bk, fl_b, by_b, _mem(bk), _mem3(bk)))
 
     if remat:
         _t("compiling back epoch (remat)...")
@@ -259,20 +371,38 @@ def run_probe(batch, trace_dir=None, remat=False):
         dt_br = time_compiled(bkr, (sd, x, y, dc, key),
                               lambda o: float(o[1]), n_iters)
         fl_r, by_r = _costs(bkr)
-        rows.append(("back_rmt", dt_br, fl_r, by_r, _mem(bkr)))
+        rows.append(("back_rmt", dt_br, fl_r, by_r, _mem(bkr), _mem3(bkr)))
+
+    for nm in micro or ():
+        imgs_step = batch * 3 * 6
+        if imgs_step % nm:
+            print(f"  skip micro={nm}: {imgs_step} images not divisible")
+            continue
+        _t(f"compiling back epoch (micro={nm})...")
+        bkm = jax.jit(lambda ts, x, y, dc, k, _nm=nm:
+                      ctx["back_epoch_micro"](ts, x, y, dc, k, _nm)).lower(
+                          sd, x, y, dc, key).compile()
+        dt_bm = time_compiled(bkm, (sd, x, y, dc, key),
+                              lambda o: float(o[1]), n_iters)
+        fl_m, by_m = _costs(bkm)
+        rows.append((f"back_m{nm}", dt_bm, fl_m, by_m, _mem(bkm),
+                     _mem3(bkm)))
 
     imgs = batch * 3 * 6
     print(f"\n== batch {batch} ({imgs} img/step) ==")
     print(f"{'comp':8s} {'ms':>8s} {'GB':>8s} {'GFLOP':>9s} "
-          f"{'floor_ms':>9s} {'frac':>6s} {'peakGB':>7s}")
+          f"{'floor_ms':>9s} {'frac':>6s} {'peakGB':>7s} "
+          f"{'tempGB':>7s} {'argGB':>6s}")
     out = {}
-    for name, dt, fl, by, mem in rows:
+    for name, dt, fl, by, mem, m3 in rows:
         floor = max(by / HBM_BW, fl / PEAK_BF16)
         out[name] = dict(ms=dt * 1e3, gb=by / 1e9, gflop=fl / 1e9,
                          floor_ms=floor * 1e3, frac=floor / dt,
-                         peak_gb=mem / 1e9)
+                         peak_gb=mem / 1e9, temp_gb=m3[0] / 1e9,
+                         arg_gb=m3[1] / 1e9)
         print(f"{name:8s} {dt*1e3:8.2f} {by/1e9:8.2f} {fl/1e9:9.1f} "
-              f"{floor*1e3:9.2f} {floor/dt:6.3f} {mem/1e9:7.2f}")
+              f"{floor*1e3:9.2f} {floor/dt:6.3f} {mem/1e9:7.2f} "
+              f"{m3[0]/1e9:7.2f} {m3[1]/1e9:6.2f}")
     print(f"front+back = {(out['front']['ms']+out['back']['ms']):.2f} ms "
           f"vs full {out['full']['ms']:.2f} ms "
           f"(img/s full: {imgs/dt_full:.1f})")
@@ -293,8 +423,16 @@ if __name__ == "__main__":
                     help="also measure the back half under jax.checkpoint")
     ap.add_argument("--trace", default=None,
                     help="directory to write jax profiler traces into")
+    ap.add_argument("--micro", type=int, nargs="*", default=[],
+                    help="also measure the back half microbatched into N "
+                         "sequential grad-accum slices (memory-pressure "
+                         "mitigation probe)")
+    ap.add_argument("--copt", action="append", default=[],
+                    help="compiler_options override key=value for an extra "
+                         "full-epoch compile (repeatable)")
     a = ap.parse_args()
     res = {}
     for b in a.batches:
-        res[str(b)] = run_probe(b, a.trace, a.remat)
+        res[str(b)] = run_probe(b, a.trace, a.remat, tuple(a.micro),
+                                _parse_copts(a.copt))
     print(json.dumps(res))
