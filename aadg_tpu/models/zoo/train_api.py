@@ -125,7 +125,11 @@ def build_optimizer(optimizer: Optional[dict] = None,
         name = ".".join(
             str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k))))
             for k in path)
-        for key in sorted(custom_keys, key=len, reverse=True):
+        # mmcv sorts keys alphabetically first, then by length descending
+        # (DefaultOptimizerConstructor: ``sorted(sorted(custom_keys),
+        # key=len, reverse=True)``) so equal-length overlapping keys
+        # resolve deterministically to the same group as the reference
+        for key in sorted(sorted(custom_keys), key=len, reverse=True):
             if key in name:
                 c = custom_keys[key]
                 return (float(c.get("lr_mult", 1.0)),
@@ -343,7 +347,11 @@ def train_segmentor(model, dataset, *,
     else:
         ohem_kwargs = None
 
-    has_aux = bool(getattr(model, "auxiliary_heads", ()))
+    # cascade segmentors deep-supervise every intermediate stage
+    # (`cascade_encoder_decoder.py:63-79`) — their forward_train returns
+    # the stage outputs through the same aux tuple
+    has_aux = bool(getattr(model, "auxiliary_heads", ())) or \
+        bool(getattr(model, "cascade_heads", ()))
     # PointRend: the point head trains on importance-sampled points with
     # nearest-sampled gt labels (mmseg cascade ``loss_point``)
     has_point = getattr(model, "point_head", None) is not None

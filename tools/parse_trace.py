@@ -70,9 +70,16 @@ def parse_hlo_stats_json(data, top=25):
                 return i
         return None
 
-    i_name = col(["hlo", "op", "name"]) or col(["op", "name"])
+    def first(*cands):
+        # explicit None check: a legitimate match at column 0 is falsy
+        for c in cands:
+            if c is not None:
+                return c
+        return None
+
+    i_name = first(col(["hlo", "op", "name"]), col(["op", "name"]))
     i_cat = col(["category"])
-    i_self = col(["total", "self", "time"]) or col(["self", "time"])
+    i_self = first(col(["total", "self", "time"]), col(["self", "time"]))
     i_expr = col(["expression"])
     if i_self is None or i_name is None:
         raise RuntimeError(f"unrecognized hlo_stats columns: {cols}")

@@ -29,8 +29,25 @@ import time
 
 sys.path.insert(0, ".")
 
-HBM_BW = 819e9     # v5e bytes/s
+# v5e fallbacks; overwritten per-device at probe time from bench.py's
+# public-spec tables so floor_ms/frac stay correct on other chips
+HBM_BW = 819e9     # bytes/s
 PEAK_BF16 = 197e12
+
+
+def _device_rooflines():
+    global HBM_BW, PEAK_BF16
+    try:
+        import jax
+        import bench
+        dev = jax.devices()[0]
+        bw, peak = bench._hbm_bw(dev), bench._peak_flops(dev)
+        if bw:
+            HBM_BW = bw
+        if peak:
+            PEAK_BF16 = peak
+    except Exception:
+        pass
 
 
 def _enable_compile_cache():
@@ -185,7 +202,6 @@ def build(batch, M=6, n_iters=10):
                                                ts.seg_params)
         dis_upd, dis_opt = ent.dis_tx.update(grads[1], ts.dis_opt,
                                              ts.dis_params)
-        import aadg_tpu.engine.steps as steps_mod
         new_ts = type(ts)(
             seg_params=jax.tree_util.tree_map(
                 lambda p, u: p + u, ts.seg_params, seg_upd),
@@ -309,6 +325,7 @@ def run_probe(batch, trace_dir=None, remat=False, micro=(), copts=None):
     import jax
     import jax.numpy as jnp
     _enable_compile_cache()
+    _device_rooflines()
     ctx = build(batch)
     n_iters = ctx["n_iters"]
     sd, store, ptens = ctx["sd"], ctx["store"], ctx["ptens"]
