@@ -60,7 +60,8 @@ def build_model(cfg, axis_name=None):
         return SegFormer(num_classes=num_classes,
                          variant=cfg.MODEL.BACKBONE or "mit_b1",
                          axis_name=axis_name,
-                         drop_path_rate=float(cfg.MODEL.DROP_PATH_RATE))
+                         drop_path_rate=float(cfg.MODEL.DROP_PATH_RATE),
+                         remat=bool(cfg.TPU.REMAT))
     from .zoo.builder import ZOO_ARCHS, build_segmentor
     if name in ZOO_ARCHS:
         model, _ = build_segmentor(name, cfg.MODEL.BACKBONE, num_classes,

@@ -50,7 +50,10 @@ class OverlapPatchEmbed(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=self.patch // 2)(x)
         b, h, w, c = x.shape
-        x = nn.LayerNorm(epsilon=1e-6)(x)
+        # named "norm" (`mix_transformer.py` OverlapPatchEmbed.norm) so the
+        # SegFormer recipe's paramwise_cfg custom_keys={'norm': ...}
+        # substring match exempts it from weight decay, as mmcv does
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         return x, h, w
 
 
@@ -146,6 +149,12 @@ class MixTransformer(nn.Module):
     # official SegFormer trains MiT with stochastic depth 0.1, linearly
     # ramped over block depth (`mix_transformer.py:223-227` decay rule)
     drop_path_rate: float = 0.0
+    # per-block activation checkpointing (TPU.REMAT): only block-boundary
+    # activations survive the fwd/bwd cut; each block's attention maps and
+    # Mix-FFN expansions recompute inside its own backward. Numerics and
+    # the param tree are identical (explicit block names). The lever's real
+    # case is b4/b5 x 512² training (27-40 blocks of stage-3 activations).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -153,6 +162,10 @@ class MixTransformer(nn.Module):
         total = sum(depths)
         dpr = [self.drop_path_rate * k / max(total - 1, 1)
                for k in range(total)]
+        # static_argnums: 0 is the module instance in linen's lifted
+        # remat; 2,3 are the python-int h,w; 4 the `train` bool
+        block_cls = (nn.remat(Block, static_argnums=(2, 3, 4))
+                     if self.remat else Block)
         cur = 0
         feats = []
         for i in range(4):
@@ -162,9 +175,9 @@ class MixTransformer(nn.Module):
             b = x.shape[0]
             x = x.reshape(b, h * w, dims[i])
             for j in range(depths[i]):
-                x = Block(dims[i], heads[i], srs[i], mlp_ratio,
-                          drop_path=dpr[cur + j],
-                          name=f"block{i + 1}_{j}")(x, h, w, train)
+                x = block_cls(dims[i], heads[i], srs[i], mlp_ratio,
+                              drop_path=dpr[cur + j],
+                              name=f"block{i + 1}_{j}")(x, h, w, train)
             cur += depths[i]
             x = nn.LayerNorm(epsilon=1e-6, name=f"norm{i + 1}")(x)
             x = x.reshape(b, h, w, dims[i])
@@ -208,12 +221,13 @@ class SegFormer(nn.Module):
     variant: str = "mit_b1"
     axis_name: Optional[str] = None
     drop_path_rate: float = 0.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         in_h, in_w = x.shape[1], x.shape[2]
         feats = MixTransformer(self.variant, self.drop_path_rate,
-                               name="backbone")(x, train)
+                               remat=self.remat, name="backbone")(x, train)
         logits = SegFormerHead(self.num_classes, axis_name=self.axis_name,
                                name="head")(feats, train)
         # x4 bilinear upsample to input resolution (`segformer.py:77-80`)

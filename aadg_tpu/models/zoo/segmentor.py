@@ -91,6 +91,27 @@ class CascadeEncoderDecoder(EncoderDecoder):
         pooled = jnp.mean(feats[-1], axis=(1, 2))
         return logits, pooled
 
+    def forward_train(self, x, train: bool = True):
+        """Cascade deep supervision (`cascade_encoder_decoder.py:63-79`:
+        every stage's loss is computed, stage k consuming stage k-1's
+        output): returns ``(final_logits, pooled, aux)`` where ``aux``
+        holds the INTERMEDIATE stage outputs (upsampled) followed by any
+        auxiliary heads — the ocrnet recipe weighs the FCN stage 0.4 and
+        the OCR refiner 1.0, exactly the trainer's ``aux_weight``
+        convention."""
+        feats = self.extract_feat(x, train)
+        out = self.decode_head(feats, train)
+        stages = [out]
+        for h in self.cascade_heads:
+            out = h(feats, out, train)
+            stages.append(out)
+        size = (x.shape[1], x.shape[2])
+        logits = resize(stages[-1], size)
+        aux = tuple(resize(s, size) for s in stages[:-1]) + tuple(
+            resize(h(feats, train), size) for h in self.auxiliary_heads)
+        pooled = jnp.mean(feats[-1], axis=(1, 2))
+        return logits, pooled, aux
+
 
 class PointRendSegmentor(EncoderDecoder):
     """PointRend (`cascade_encoder_decoder.py` driving `point_head.py` —

@@ -59,3 +59,38 @@ def test_segformer_b4_contract():
     assert logits.shape == (1, 32, 32, 2)
     assert feat.shape == (1, 512)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.slow
+def test_mit_remat_identical_tree_outputs_grads():
+    """remat=True (per-block nn.remat over the MiT blocks) must be a pure
+    scheduling change: identical variable tree (explicit block names),
+    identical outputs and gradients. The lever's production case is
+    b4/b5 x 512^2 training; equality is shape-independent, so b0 at 32^2
+    proves it."""
+    x = jnp.linspace(0.0, 1.0, 2 * 32 * 32 * 3).reshape((2, 32, 32, 3))
+    base = SegFormer(num_classes=2, variant="mit_b0")
+    rmt = SegFormer(num_classes=2, variant="mit_b0", remat=True)
+    v = base.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = rmt.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2)), \
+        "remat changed the variable tree"
+
+    def loss(model, params):
+        (logits, feat), _ = model.apply(
+            {**v, "params": params}, x, train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.mean(logits ** 2) + jnp.mean(feat ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(base, p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(rmt, p))(v["params"])
+    # not bit-identical: remat moves XLA fusion boundaries, so the attn
+    # softmax/matmul reductions reassociate at f32-ulp scale (measured
+    # max abs grad delta 1.2e-6; loss delta 6e-7 rel)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

@@ -544,6 +544,26 @@ def test_mit_matches_torch_oracle():
                      feats, x_np, atol=1e-3)
 
 
+@pytest.mark.parametrize("variant", ["mit_b4", "mit_b5"])
+def test_mit_b4_b5_convert_match_torch_oracle(variant):
+    """b4/b5 share the naming scheme with deeper stages
+    (`mix_transformer.py:374-424`): the converter mapping must walk every
+    block of the deeper depths tables — (3,8,27,3) / (3,6,40,3)."""
+    from aadg_tpu.models.segformer import VARIANTS
+    dims, depths, heads, srs, mlp_ratio = VARIANTS[variant]
+    torch.manual_seed(1)
+    tm = TMit(dims=dims, depths=depths, heads=heads, srs=srs,
+              mlp_ratio=mlp_ratio).eval()
+    params, stats = convert_mit(tm.state_dict(), variant)
+    assert stats == {}
+    x_np = np.random.default_rng(5).uniform(
+        -1, 1, (1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats = tm(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    _forward_compare(MixTransformer(variant=variant), {"params": params},
+                     feats, x_np, atol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # load_pretrained grafting (utils/pretrained.py + TPU.PRETRAINED)
 # ---------------------------------------------------------------------------

@@ -386,3 +386,52 @@ def test_train_segmentor_ckpt_pruning_and_load_from(tmp_path):
     v2, h2 = train_segmentor(model, ds, max_iters=1, batch_size=2,
                              load_from=ck)
     assert np.isfinite(h2["loss"][0])
+
+
+def test_train_segmentor_cascade_deep_supervision():
+    """Cascade segmentors (ocrnet) train every stage
+    (`cascade_encoder_decoder.py:63-79`): forward_train returns the
+    intermediate stage outputs through the aux tuple (weight 0.4 = the
+    ocrnet recipe's FCN-stage loss weight), and train_segmentor picks
+    the path up automatically."""
+    from aadg_tpu.models.zoo.segmentor import CascadeEncoderDecoder
+    from aadg_tpu.models.zoo.heads import FCNHead
+    from aadg_tpu.models.zoo.attention_heads import OCRHead
+
+    class _TinyBackbone(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            h = nn.relu(nn.Conv(8, (3, 3), strides=2, padding=1)(x))
+            h2 = nn.relu(nn.Conv(16, (3, 3), strides=2, padding=1)(h))
+            return [h, h2]
+
+    model = CascadeEncoderDecoder(
+        backbone=_TinyBackbone(),
+        decode_head=FCNHead(num_classes=3, channels=8, num_convs=1,
+                            concat_input=False, in_index=1),
+        cascade_heads=(OCRHead(num_classes=3, channels=8, ocr_channels=4,
+                               in_index=1),),
+        feat_ch=16)
+
+    x = jnp.ones((2, 16, 16, 3))
+    v = jax.jit(lambda r, x: model.init(
+        r, x, train=True, method=CascadeEncoderDecoder.forward_train))(
+        jax.random.PRNGKey(0), x)
+    (logits, pooled, aux), _ = model.apply(
+        v, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        method=CascadeEncoderDecoder.forward_train)
+    assert logits.shape == (2, 16, 16, 3)
+    assert len(aux) == 1 and aux[0].shape == (2, 16, 16, 3)
+    # final logits match __call__ (the stage chain is the same)
+    call_logits, _ = model.apply(v, x, train=False)
+    assert call_logits.shape == (2, 16, 16, 3)
+
+    ds = _MemDataset()
+    variables, hist = train_segmentor(
+        model, ds, max_iters=3, batch_size=2,
+        optimizer=dict(type="SGD", lr=0.01, momentum=0.9,
+                       weight_decay=5e-4),
+        lr_config=dict(policy="poly", power=0.9, min_lr=1e-4))
+    assert len(hist["loss"]) == 3
+    assert all(np.isfinite(hist["loss"]))

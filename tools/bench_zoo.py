@@ -36,6 +36,13 @@ PAIRS = (
 # (name, aux head recipe?, optimizer dict, lr_config dict) — the mmseg
 # training recipes for the train bench (`apis/train.py:71-90` consumes
 # these from cfg.optimizer/cfg.lr_config)
+# the published SegFormer AdamW schedule incl. paramwise_cfg custom_keys
+# (`configs/segformer/*`: norm decay_mult 0, head lr_mult 10)
+_SEGFORMER_OPT = dict(
+    type="AdamW", lr=6e-5, betas=(0.9, 0.999), weight_decay=0.01,
+    paramwise_cfg=dict(custom_keys={
+        "norm": dict(decay_mult=0.0), "head": dict(lr_mult=10.0)}))
+
 TRAIN_RECIPES = (
     ("fcn", "resnet50_v1c", True,
      dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=0.0005),
@@ -43,8 +50,14 @@ TRAIN_RECIPES = (
     ("deeplabv3plus", "resnet50_v1c", True,
      dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=0.0005),
      dict(policy="poly", power=0.9, min_lr=1e-4)),
-    ("segformer", "mit_b1", False,
-     dict(type="AdamW", lr=6e-5, betas=(0.9, 0.999), weight_decay=0.01),
+    ("ocrnet", "hrnet_w18", False,  # cascade: FCN stage 0.4 + OCR 1.0
+     dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=0.0005),
+     dict(policy="poly", power=0.9, min_lr=1e-4)),
+    ("segformer", "mit_b1", False, _SEGFORMER_OPT,
+     dict(policy="poly", power=1.0, min_lr=0.0)),
+    ("segformer", "mit_b4", False, _SEGFORMER_OPT,
+     dict(policy="poly", power=1.0, min_lr=0.0)),
+    ("segformer", "mit_b5", False, _SEGFORMER_OPT,
      dict(policy="poly", power=1.0, min_lr=0.0)),
 )
 
@@ -69,8 +82,12 @@ def bench_train(args):
                            (args.batch, args.size, args.size), 0, n_cls)
 
     for arch, bb, aux, opt_cfg, lr_cfg in TRAIN_RECIPES:
+        name = f"{arch}/{bb}"
+        if args.only and args.only not in name:
+            continue
         if arch == "segformer":
-            model = SegFormer(num_classes=n_cls, variant=bb)
+            model = SegFormer(num_classes=n_cls, variant=bb,
+                              remat=args.remat)
             has_aux = False
         else:
             model, _ = build_segmentor(arch, bb, num_classes=n_cls)
@@ -80,8 +97,8 @@ def bench_train(args):
                 model = model.clone(auxiliary_heads=(
                     FCNHead(num_classes=n_cls, channels=256, num_convs=1,
                             concat_input=False, in_index=2),))
-            has_aux = aux
-        name = f"{arch}/{bb}"
+            # cascade stages deep-supervise through the same aux tuple
+            has_aux = aux or bool(getattr(model, "cascade_heads", ()))
 
         x_init = jnp.zeros((1, 64, 64, 3), jnp.float32)
         if has_aux:
@@ -171,6 +188,12 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="bench the training step (mmseg recipes) instead "
                          "of eval-mode serving")
+    ap.add_argument("--only", default=None,
+                    help="bench only models whose arch/backbone name "
+                         "contains this substring")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block MiT activation checkpointing for the "
+                         "segformer train rows (TPU.REMAT lever)")
     args = ap.parse_args()
 
     if args.train:
@@ -182,10 +205,15 @@ def main():
 
     def models():
         for arch, bb in PAIRS:
+            if args.only and args.only not in f"{arch}/{bb}":
+                continue
             m, _ = build_segmentor(arch, bb, num_classes=19)
             yield f"{arch}/{bb}", m
-        yield "segformer/mit_b1", SegFormer(num_classes=19,
-                                            variant="mit_b1")
+        for variant in ("mit_b1", "mit_b4", "mit_b5"):
+            if args.only and args.only not in f"segformer/{variant}":
+                continue
+            yield f"segformer/{variant}", SegFormer(num_classes=19,
+                                                    variant=variant)
 
     x = jnp.zeros((args.batch, args.size, args.size, 3), jnp.float32)
     # init jitted at a small spatial size: conv/BN params are

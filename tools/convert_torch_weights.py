@@ -16,7 +16,7 @@ disk, covering every backbone family the zoo implements:
   hrnet18/32/48        mmcv HRNetV2-W*            models.zoo.HRNet
   mobilenet_v3_small/  torchvision MNv3           models.zoo.MobileNetV3
   mobilenet_v3_large
-  mit_b0..b3           SegFormer official MiT     models.segformer.MixTransformer
+  mit_b0..b5           SegFormer official MiT     models.segformer.MixTransformer
 
 Usage:
     python tools/convert_torch_weights.py --arch resnet50 in.pth out.msgpack
@@ -328,7 +328,7 @@ def convert_mit(state_dict, variant="mit_b0"):
     for i in range(4):
         pe = f"patch_embed{i + 1}"
         m.conv([pe, "Conv_0"], pe + ".proj.weight", bias=True)
-        m.ln([pe, "LayerNorm_0"], pe + ".norm")
+        m.ln([pe, "norm"], pe + ".norm")
         for j in range(depths[i]):
             p, dst = f"block{i + 1}.{j}", [f"block{i + 1}_{j}"]
             m.ln(dst + ["norm1"], p + ".norm1")
@@ -627,6 +627,8 @@ ARCHS = {
     "mit_b1": lambda sd: convert_mit(sd, "mit_b1"),
     "mit_b2": lambda sd: convert_mit(sd, "mit_b2"),
     "mit_b3": lambda sd: convert_mit(sd, "mit_b3"),
+    "mit_b4": lambda sd: convert_mit(sd, "mit_b4"),
+    "mit_b5": lambda sd: convert_mit(sd, "mit_b5"),
     "unet_s5_d16": lambda sd: convert_unet(sd),
 }
 
@@ -645,7 +647,7 @@ def main():
                          "(backbone + decode head) for this arch; "
                          "--backbone selects the zoo backbone name")
     ap.add_argument("--backbone", choices=sorted(ZOO_BACKBONES)
-                    + ["mit_b0", "mit_b1", "mit_b2", "mit_b3"],
+                    + ["mit_b0", "mit_b1", "mit_b2", "mit_b3", "mit_b4", "mit_b5"],
                     default=None, help="zoo backbone (with --segmentor)")
     args = ap.parse_args()
 
