@@ -101,3 +101,52 @@ def test_search_learns_diversity_objective(tmp_path):
     # frozen final state, batches and augmentation keys
     ab, rounds = pl.learned_vs_random(cfg, out_dir)
     assert ab["learned"] > 1.2 * ab["random"], (ab, rounds)
+
+
+@pytest.mark.heavy
+def test_search_learns_at_full_breadth(tmp_path):
+    """VERDICT r4 #5: the same learning claim at the PRODUCTION 10-op
+    search breadth (`data/basic.py:231-251`, no EXCLUDE_OPS narrowing).
+
+    Recipe + margins validated on the real TPU (RESULTS.md round-5
+    full-breadth section; raw logs artifacts/r5_prove_full.log): at both
+    the full shape (steps 6/batch 8) and THIS smaller recipe the
+    controller moves 0.82-0.87 of its op mass onto the final-landscape's
+    top ops, suppresses the landscape's bottom three (AutoContrast/
+    Equalize/Brightness, measured tail mass 0.09), and its policies
+    out-reward the epoch-0 controller's 1.51-1.61x on the same frozen
+    state/batches/keys. The raw-reward SERIES is not asserted at this
+    budget: at full breadth the uniform controller already mixes
+    informative ops and the adversarial seg/dis adapt faster than the
+    mix improves, so the series is non-monotone here (measured 4.03 ->
+    2.95 at this recipe, +24% at the full shape) — the set-wise
+    convergence and learned-vs-random margins are the budget-robust
+    assertions."""
+    cfg = pl.testbed_config(end_epoch=150, warmup=30, steps=2, batch=4,
+                            M=8, out_dir=str(tmp_path / "run"),
+                            full_space=True)
+
+    from aadg_tpu.engine.search import run_search
+    from aadg_tpu.ops.augment import augment_list
+    _, out_dir = run_search(cfg, "test_learning_full.yaml")
+
+    names = list(augment_list())
+    ana = pl.analyze_trajectory(out_dir, names, tail=10)
+    first = np.asarray(ana["first"])
+    tail = np.asarray(ana["tail_mean"])
+    assert first.max() < 0.15, first  # near-uniform init (1/10)
+
+    # rank ops by their best constant-policy reward on the FINAL state
+    lnames, rf = pl.measure_final_landscape(cfg, out_dir)
+    assert lnames == names
+    best = rf.max(axis=1)
+    order = np.argsort(-best)
+    top6, bottom3 = set(order[:6]), set(order[-3:])
+    # mass concentrates set-wise: onto the landscape's top ops, off its
+    # bottom ops (measured 0.87 / 0.09 on TPU at this recipe)
+    assert tail[list(top6)].sum() > 0.60, (names, tail, best)
+    assert tail[list(bottom3)].sum() < 0.15, (names, tail, best)
+
+    # learned controller beats the epoch-0 controller (measured 1.51x)
+    ab, rounds = pl.learned_vs_random(cfg, out_dir)
+    assert ab["learned"] > 1.2 * ab["random"], (ab, rounds)

@@ -83,8 +83,12 @@ EXCLUDED = [n for n in augment_list() if n not in TESTBED_SPACE]
 
 def testbed_config(end_epoch: int = 24, warmup: int = 4, steps: int = 4,
                    batch: int = 4, M: int = 8, size: int = 64,
-                   out_dir: str = "/tmp/prove_learning", seed: int = 1023):
-    """The fixture search config narrowed to the 4-op testbed space."""
+                   out_dir: str = "/tmp/prove_learning", seed: int = 1023,
+                   full_space: bool = False):
+    """The fixture search config narrowed to the 4-op testbed space —
+    or, with ``full_space=True``, the PRODUCTION 10-op search breadth
+    (`data/basic.py:231-251` semantics; VERDICT r4 #5: does the
+    controller still find the chroma-relevant ops among ten?)."""
     fixture = os.path.join(os.path.dirname(__file__), "..", "tests",
                            "fixtures", "synthetic_optic.yaml")
     cfg = load_config(fixture, [
@@ -101,7 +105,7 @@ def testbed_config(end_epoch: int = 24, warmup: int = 4, steps: int = 4,
         # learned_vs_random needs the final (sd, cs) pair, nothing else
         "TPU.CHECKPOINT_FREQ", str(max(1, end_epoch - warmup - 1)),
     ])
-    cfg.CONTROLLER.EXCLUDE_OPS = EXCLUDED
+    cfg.CONTROLLER.EXCLUDE_OPS = [] if full_space else EXCLUDED
     cfg.TPU.AUTO_RESUME = False
     cfg.OUTPUT_DIR = out_dir
     cfg.SEED = seed
@@ -274,11 +278,15 @@ def main():
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--out", type=str, default="/tmp/prove_learning")
     ap.add_argument("--skip-calibration", action="store_true")
+    ap.add_argument("--full-space", action="store_true",
+                    help="run at the production 10-op search breadth "
+                         "instead of the 4-op testbed narrowing")
     args = ap.parse_args()
 
     cfg = testbed_config(end_epoch=args.epochs, warmup=args.warmup,
                          steps=args.steps, batch=args.batch, M=args.M,
-                         size=args.size, out_dir=args.out)
+                         size=args.size, out_dir=args.out,
+                         full_space=args.full_space)
 
     if not args.skip_calibration:
         names, mags, r = measure_op_mag_rewards(cfg)
@@ -291,7 +299,9 @@ def main():
     best, out_dir = run_search(cfg, "tools/prove_learning.py")
     print("search out_dir:", out_dir)
 
-    ana = analyze_trajectory(out_dir, TESTBED_SPACE)
+    space = ([n for n in augment_list()] if args.full_space
+             else TESTBED_SPACE)
+    ana = analyze_trajectory(out_dir, space)
     print("\n== trajectory ==")
     print("op_names   :", ana["op_names"])
     print("first epoch:", np.round(ana["first"], 4))
