@@ -145,3 +145,136 @@ def test_mesh_per_process_sharding_math():
     assert sorted(seen.keys()) == list(range(8))
     flat = [v for d in sorted(seen) for v in seen[d]]
     assert flat == x[:, 0].tolist()
+
+
+import pytest
+
+
+@pytest.mark.heavy
+def test_two_process_flagship_search_epoch():
+    """Cross-process DP for the FLAGSHIP step (VERDICT r4 #3): one full
+    search-mode epoch (policy augmentation -> seg+dis fwd/bwd with
+    `pmean`ed grads -> `all_gather`ed Sinkhorn domain features -> PPO
+    reward accumulation) executed across 2 processes x 4 devices on the
+    global 8-device mesh, asserted bit-comparable (f32 tolerance) to the
+    SAME epoch run single-process on 8 devices. The reference counterpart
+    is DDP's in-step gradient allreduce (`search.py:29`,
+    `distributed.py:15-31`); here the collectives cross a real process
+    boundary instead of a thread boundary.
+
+    COLD-CACHE caveat: the pair compiles the epoch program concurrently
+    on this 1-core host; a large compile-time skew between the two
+    processes can trip the Gloo connect timeout at the first collective
+    (observed once cold). The persistent compile cache makes reruns
+    warm (~5.5 min measured); if the pair times out cold, rerun."""
+    port = _free_port()
+    script = textwrap.dedent(f"""
+        import os, sys
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_optimization_level", "O0")
+        n_local = int(sys.argv[1]); pid = int(sys.argv[2])
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+            f" --xla_force_host_platform_device_count={{n_local}}"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+            " --xla_cpu_max_isa=AVX2").strip()
+        sys.path.insert(0, {REPO!r})
+        from aadg_tpu.utils.cache import setup_compile_cache
+        setup_compile_cache()
+        if pid >= 0:  # multi-process mode; pid<0 = single-process oracle
+            from run import parse_args, maybe_initialize_multihost
+            args = parse_args(["--cfg", "unused.yaml",
+                               "--coordinator", "localhost:{port}",
+                               "--num_processes", "2",
+                               "--process_id", str(pid)])
+            assert maybe_initialize_multihost(args)
+            assert jax.process_count() == 2
+        assert jax.device_count() == 8
+
+        import numpy as np
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from aadg_tpu.config import load_config
+        from aadg_tpu.data.datasets import SyntheticDataset, \\
+            load_train_arrays
+        from aadg_tpu.data.stores import make_train_store
+        from aadg_tpu.engine.state import build_entities, init_state
+        from aadg_tpu.engine.steps import make_search_step
+        from aadg_tpu.models import controller as ctrl_mod
+        from aadg_tpu.parallel.mesh import make_mesh
+        from aadg_tpu.parallel.dp import make_dp_search_epoch
+
+        cfg = load_config(os.path.join({REPO!r}, "tests", "fixtures",
+                                       "synthetic_optic.yaml"))
+        cfg.TPU.CROP_SIZE = 32
+        ds = SyntheticDataset("optic", n_domains=3, n_per_domain=4,
+                              size=32)
+        store = make_train_store(*load_train_arrays(ds))
+        ent = build_entities(cfg, "search", steps_per_epoch=1,
+                             axis_name="data")
+        sd, cs = init_state(ent, jax.random.PRNGKey(0))
+        M, B, steps = 2, 8, 2
+        step = make_search_step(ent, M, axis_name="data", n_shards=8)
+        mesh = make_mesh(8)
+        epoch = make_dp_search_epoch(step, mesh, global_batch=B,
+                                     steps=steps)
+        policies, *_ = ctrl_mod.sample(cs.params, ent.ctrl_spec,
+                                       jax.random.PRNGKey(2), M)
+        ptens = ctrl_mod.policies_to_tensor(policies, ent.ctrl_spec)
+        repl = NamedSharding(mesh, P())
+        sd, store, ptens, key = jax.device_put(
+            (sd, store, ptens, jax.random.PRNGKey(3)), repl)
+        new_sd, metrics, rewards = epoch(sd, store, ptens, key)
+        r = np.asarray(jax.tree_util.tree_map(
+            lambda a: a.addressable_data(0), rewards))
+        loss = float(np.asarray(metrics["seg_loss"].addressable_data(0)))
+        w0 = np.asarray(jax.tree_util.tree_leaves(
+            new_sd.seg_params)[0].addressable_data(0))
+        print("EPOCH_RESULT", pid,
+              " ".join(repr(float(v)) for v in r), repr(loss),
+              repr(float(np.abs(w0).sum())), flush=True)
+    """)
+
+    def run_pair():
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", script, "4", str(pid)], cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            for pid in range(2)]
+        outs = []
+        for pid, p in enumerate(procs):
+            try:
+                stdout, stderr = p.communicate(timeout=3000)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            assert p.returncode == 0, (pid, stderr[-3000:])
+            outs.append(stdout)
+        return outs
+
+    def parse(out, want_pid):
+        for line in out.splitlines():
+            if line.startswith("EPOCH_RESULT"):
+                parts = line.split()
+                assert int(parts[1]) == want_pid
+                return [float(v) for v in parts[2:]]
+        raise AssertionError(f"no EPOCH_RESULT in: {out[-2000:]}")
+
+    # single-process 8-device oracle (same script, pid=-1 skips init)
+    oracle = subprocess.run(
+        [sys.executable, "-c", script, "8", "-1"], cwd=REPO,
+        capture_output=True, text=True, timeout=3000)
+    assert oracle.returncode == 0, oracle.stderr[-3000:]
+    want = parse(oracle.stdout, -1)
+
+    outs = run_pair()
+    got0 = parse(outs[0], 0)
+    got1 = parse(outs[1], 1)
+    # both processes agree exactly (replicated outputs)...
+    np.testing.assert_allclose(got0, got1, rtol=0, atol=0)
+    # ...and match the single-process epoch to f32 tolerance: rewards,
+    # seg_loss, and the first trained-parameter leaf's l1 mass
+    np.testing.assert_allclose(got0[:2], want[:2], rtol=1e-4, atol=1e-5)
+    assert got0[2] == pytest.approx(want[2], rel=1e-4)
+    assert got0[3] == pytest.approx(want[3], rel=1e-3)
