@@ -66,6 +66,8 @@ def test_fused_rejects_geometric_spaces():
         aug.augment_list(for_autoaug=True)) is None
 
 
+@pytest.mark.slow  # vmapped 10-op switcher compile: 17 s warm; the
+# unvmapped all-op equivalence stays quick (r5 tiering)
 def test_fused_under_vmap_matches_generic():
     names = aug.augment_list()
     fused = aug.make_fused_op_switcher(names)

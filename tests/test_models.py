@@ -101,6 +101,7 @@ class TestDiscriminators:
 
 
 class TestSegModels:
+    @pytest.mark.slow  # full UNet compile: 23 s warm (r5 tiering)
     def test_unet_contract(self):
         model = UNet(in_channels=3, out_channels=2)
         x = jnp.zeros((1, 64, 64, 3))

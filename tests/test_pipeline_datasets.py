@@ -318,6 +318,7 @@ class TestLoaderArgPlumbing:
                                imdecode_backend="turbojpeg")]))
 
 
+@pytest.mark.slow  # eval spill e2e: 21 s warm (r5 tiering)
 def test_efficient_test_paths_equal_in_memory(tmp_path):
     """efficient_test spills predictions to .npy paths; eval must be
     IDENTICAL to the in-memory path (`apis/test.py` np2tmp +

@@ -84,6 +84,7 @@ def test_show_result_blend(rng):
     np.testing.assert_array_equal(out, exp)
 
 
+@pytest.mark.slow  # 12-view TTA compile: 48 s warm (r5 tiering)
 def test_aug_test_tta_matches_reference_math(rng):
     """aug_test_segmentor == hand-rolled mmseg aug_test: per-view forward
     -> logits resized to ori_shape -> softmax -> un-flip -> mean -> argmax

@@ -107,6 +107,7 @@ def test_fcn_hrnet_resize_concat_wiring():
     assert pooled.shape == (1, feat_ch)
 
 
+@pytest.mark.slow  # multi-size FPN builds: 90 s even warm (r5 tiering)
 def test_fpn_head_param_structure_is_input_size_independent():
     """FPNHead's conv-chain depth is static (feature_strides), so
     variables init'd at one size must run inference at any other —
