@@ -56,7 +56,7 @@ def pytest_collection_modifyitems(config, items):
     and every test belongs to exactly one tier."""
     for item in items:
         names = {m.name for m in item.iter_markers()}
-        if "heavy" not in names and "slow" not in names:
+        if not names & {"heavy", "slow", "proof"}:
             item.add_marker(pytest.mark.quick)
 
 

@@ -17,8 +17,11 @@ high magnitude amplifies the tint's SNR (measured reward 0.88 vs identity
 (0.0002), and the histogram ops erase it (~0.01-0.10).
 
 Tiering: the calibration check is `slow` (one warmup + probe, a few
-compiles); the full search run is `heavy` (a real multi-epoch
-`run_search`).
+compiles); the two full 150-epoch search reproductions are `proof` —
+OPT-IN (`pytest -m proof`): at ~160 s/epoch on this 1-core CPU host
+each takes ~7 h, while the SAME proofs run in ~15-25 min on the real
+TPU via `python tools/prove_learning.py [--full-space]` (measured
+numbers + raw logs: RESULTS.md rounds 4-5, artifacts/).
 """
 
 import numpy as np
@@ -55,7 +58,7 @@ def test_testbed_reward_landscape():
         assert color_hi > 2 * r[idx[other]].max(), (names, r)
 
 
-@pytest.mark.heavy
+@pytest.mark.proof
 def test_search_learns_diversity_objective(tmp_path):
     """The full `run_search` at the reference's PPO budget (120 controller
     updates, `search_dg.py:328-347`): (a) mean per-epoch raw reward rises,
@@ -103,7 +106,7 @@ def test_search_learns_diversity_objective(tmp_path):
     assert ab["learned"] > 1.2 * ab["random"], (ab, rounds)
 
 
-@pytest.mark.heavy
+@pytest.mark.proof
 def test_search_learns_at_full_breadth(tmp_path):
     """VERDICT r4 #5: the same learning claim at the PRODUCTION 10-op
     search breadth (`data/basic.py:231-251`, no EXCLUDE_OPS narrowing).
